@@ -1,0 +1,279 @@
+"""Transformer blocks with GLIGEN gated fusers (reference L2 modules).
+
+Flax rebuild of ldm/modules/attention.py: SelfAttention (:154),
+CrossAttention (:102), GEGLU/FeedForward (:37-64), the three gated fusers
+GatedSelfAttentionDense (:215), GatedSelfAttentionDense2 (:251),
+GatedCrossAttentionDense (:190), BasicTransformerBlock (:303) and
+SpatialTransformer (:341).
+
+Differences from the reference, by design:
+  * NHWC layout for SpatialTransformer; 1x1 convs are Dense over channels.
+  * The fuser's gate magnitude (reference's mutable ``module.scale``
+    attribute, set by set_alpha_scale during sampling,
+    gligen_inference.py:24-28) is a **traced call argument**
+    ``gate_scale`` so alpha scheduling lives inside one compiled scan.
+  * GatedSelfAttentionDense computes attention queries only for the
+    visual tokens instead of attending all (N_v+N_g) rows and slicing
+    (attention.py:241) — mathematically identical, strictly less compute.
+  * Dropout is omitted: every shipped config uses dropout=0.
+
+Parameter names mirror the reference's module attribute names so the
+torch->flax checkpoint converter is a mechanical key map.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gligen_tpu.ops.attention import multi_head_attention
+from gligen_tpu.ops.basic import layer_norm
+from gligen_tpu.ops.interpolate import resize_2d
+
+
+def _dense(features: int, use_bias: bool = True, name: str | None = None, zero_init: bool = False, dtype=None):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+    )
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch parity (eps 1e-5, fp32 stats, affine)."""
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return layer_norm(x, scale, bias)
+
+
+class SelfAttention(nn.Module):
+    """attention.py:154-186."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv: Optional[jax.Array] = None):
+        """Self attention; if ``kv`` is given, queries come from ``x`` but
+        keys/values from ``kv`` (the fused gated-SA visual-query path —
+        exact equivalent of attending over concat and slicing rows)."""
+        inner = self.heads * self.dim_head
+        out_dim = x.shape[-1]
+        kv = x if kv is None else kv
+        q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv)
+        v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv)
+        out = multi_head_attention(q, k, v, self.heads)
+        return _dense(out_dim, name="to_out", dtype=self.dtype)(out)
+
+
+class CrossAttention(nn.Module):
+    """attention.py:102-149."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key, value, key_mask: Optional[jax.Array] = None):
+        inner = self.heads * self.dim_head
+        out_dim = x.shape[-1]
+        q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(key)
+        v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(value)
+        out = multi_head_attention(q, k, v, self.heads, key_mask=key_mask)
+        return _dense(out_dim, name="to_out", dtype=self.dtype)(out)
+
+
+class GEGLU(nn.Module):
+    """attention.py:37-44. Exact (erf) GELU, matching torch F.gelu default."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = _dense(self.dim_out * 2, name="proj", dtype=self.dtype)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """attention.py:47-64 with glu=True (the only variant GLIGEN uses)."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, name="net_0", dtype=self.dtype)(x)
+        return _dense(dim, name="net_2", dtype=self.dtype)(h)
+
+
+class GatedSelfAttentionDense(nn.Module):
+    """The GLIGEN novelty (attention.py:215-244).
+
+    x_visual += gate_scale*tanh(alpha_attn) * SelfAttn over [x, W objs],
+    visual-row slice; then the gated GEGLU FF.  ``gate_scale`` is the
+    sampler's alpha schedule value (a traced scalar).
+    """
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, objs, gate_scale: jax.Array | float = 1.0):
+        query_dim = x.shape[-1]
+        alpha_attn = self.param("alpha_attn", nn.initializers.zeros, (), jnp.float32)
+        alpha_dense = self.param("alpha_dense", nn.initializers.zeros, (), jnp.float32)
+
+        objs_p = _dense(query_dim, name="linear", dtype=self.dtype)(objs)
+        cat = jnp.concatenate([x, objs_p], axis=1)
+        normed = LayerNorm(name="norm1")(cat)
+        n_visual = x.shape[1]
+        # Queries only for visual tokens; keys/values over visual+grounding.
+        attn_out = SelfAttention(self.heads, self.dim_head, name="attn", dtype=self.dtype)(
+            normed[:, :n_visual], kv=normed
+        )
+        g1 = (gate_scale * jnp.tanh(alpha_attn)).astype(x.dtype)
+        x = x + g1 * attn_out
+        g2 = (gate_scale * jnp.tanh(alpha_dense)).astype(x.dtype)
+        x = x + g2 * FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm2")(x))
+        return x
+
+
+class GatedSelfAttentionDense2(nn.Module):
+    """attention.py:251-297: grounding-row output bicubically resized onto
+    the visual grid as the residual."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, objs, gate_scale: jax.Array | float = 1.0):
+        query_dim = x.shape[-1]
+        b, n_visual, _ = x.shape
+        n_ground = objs.shape[1]
+        size_v = int(round(n_visual**0.5))
+        size_g = int(round(n_ground**0.5))
+        assert size_v * size_v == n_visual and size_g * size_g == n_ground
+
+        alpha_attn = self.param("alpha_attn", nn.initializers.zeros, (), jnp.float32)
+        alpha_dense = self.param("alpha_dense", nn.initializers.zeros, (), jnp.float32)
+
+        objs_p = _dense(query_dim, name="linear", dtype=self.dtype)(objs)
+        cat = jnp.concatenate([x, objs_p], axis=1)
+        normed = LayerNorm(name="norm1")(cat)
+        # Queries only for grounding tokens (reference slices [N_visual:]).
+        out = SelfAttention(self.heads, self.dim_head, name="attn", dtype=self.dtype)(
+            normed[:, n_visual:], kv=normed
+        )
+        out = out.reshape(b, size_g, size_g, -1)
+        out = resize_2d(out, (size_v, size_v), mode="bicubic")
+        residual = out.reshape(b, n_visual, -1)
+
+        g1 = (gate_scale * jnp.tanh(alpha_attn)).astype(x.dtype)
+        x = x + g1 * residual
+        g2 = (gate_scale * jnp.tanh(alpha_dense)).astype(x.dtype)
+        x = x + g2 * FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm2")(x))
+        return x
+
+
+class GatedCrossAttentionDense(nn.Module):
+    """attention.py:190-212."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, objs, gate_scale: jax.Array | float = 1.0):
+        alpha_attn = self.param("alpha_attn", nn.initializers.zeros, (), jnp.float32)
+        alpha_dense = self.param("alpha_dense", nn.initializers.zeros, (), jnp.float32)
+        attn_out = CrossAttention(self.heads, self.dim_head, name="attn", dtype=self.dtype)(
+            LayerNorm(name="norm1")(x), objs, objs
+        )
+        g1 = (gate_scale * jnp.tanh(alpha_attn)).astype(x.dtype)
+        x = x + g1 * attn_out
+        g2 = (gate_scale * jnp.tanh(alpha_dense)).astype(x.dtype)
+        x = x + g2 * FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm2")(x))
+        return x
+
+
+FUSERS = {
+    "gatedSA": GatedSelfAttentionDense,
+    "gatedSA2": GatedSelfAttentionDense2,
+    "gatedCA": GatedCrossAttentionDense,
+}
+
+
+class BasicTransformerBlock(nn.Module):
+    """attention.py:303-338: selfattn -> fuser -> crossattn -> FF."""
+
+    heads: int
+    dim_head: int
+    fuser_type: str = "gatedSA"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, objs, gate_scale: jax.Array | float = 1.0):
+        assert self.fuser_type in FUSERS, self.fuser_type
+        x = SelfAttention(self.heads, self.dim_head, name="attn1", dtype=self.dtype)(
+            LayerNorm(name="norm1")(x)
+        ) + x
+        x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
+            x, objs, gate_scale
+        )
+        x = CrossAttention(self.heads, self.dim_head, name="attn2", dtype=self.dtype)(
+            LayerNorm(name="norm2")(x), context, context
+        ) + x
+        x = FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm3")(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """attention.py:341-376, NHWC. proj_in/out are 1x1 convs == Dense."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    fuser_type: str = "gatedSA"
+    use_checkpoint: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, objs, gate_scale: jax.Array | float = 1.0):
+        b, h, w, c = x.shape
+        from gligen_tpu.ops.basic import group_norm
+
+        scale = self.param("norm_scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("norm_bias", nn.initializers.zeros, (c,), jnp.float32)
+        x_in = x
+        x = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+        x = _dense(self.heads * self.dim_head, name="proj_in", dtype=self.dtype)(x)
+        x = x.reshape(b, h * w, -1)
+        block_cls = BasicTransformerBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(BasicTransformerBlock, static_argnums=())
+        for d in range(self.depth):
+            x = block_cls(
+                self.heads, self.dim_head, self.fuser_type,
+                name=f"transformer_blocks_{d}", dtype=self.dtype,
+            )(x, context, objs, gate_scale)
+        x = x.reshape(b, h, w, -1)
+        x = _dense(c, name="proj_out", zero_init=True, dtype=self.dtype)(x)
+        return x + x_in

@@ -1,0 +1,113 @@
+"""Core numeric primitives (reference L1).
+
+Functional equivalents of the reference's
+``ldm/modules/diffusionmodules/util.py``: FourierEmbedder (util.py:12-26),
+timestep_embedding (util.py:160-180), GroupNorm32 fp32-cast norm
+(util.py:223-226) and attention.py:76-77's eps=1e-6 Normalize.
+
+Everything here is a pure function over jnp arrays — no module state —
+so it composes freely under jit/scan/vmap and gradient checkpointing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def fourier_embed(x: jax.Array, num_freqs: int = 8, temperature: float = 100.0) -> jax.Array:
+    """Per-frequency sin/cos embedding.
+
+    Matches reference FourierEmbedder (util.py:12-26): frequency bands are
+    ``temperature ** (k / num_freqs)`` and the output concatenates, for each
+    frequency in order, the full sin block then the full cos block along the
+    last axis:  out[..., f*2*D:(f*2+1)*D] = sin(freq_f * x), then cos.
+
+    x: (..., D)  ->  (..., num_freqs * 2 * D)
+    """
+    freqs = temperature ** (jnp.arange(num_freqs, dtype=jnp.float32) / num_freqs)
+    # (..., F, D) angles; stack sin/cos to (..., F, 2, D) then flatten.
+    ang = x[..., None, :].astype(jnp.float32) * freqs[:, None]
+    emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-2)
+    return emb.reshape(*x.shape[:-1], num_freqs * 2 * x.shape[-1]).astype(x.dtype)
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, cos-then-sin ordering.
+
+    Matches reference timestep_embedding (util.py:160-180), including its
+    (unusual) ``cat([cos, sin])`` order and zero-pad for odd dims.
+
+    timesteps: (B,) possibly fractional -> (B, dim) float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """GroupNorm over the channel (last) axis of an NHWC / (..., C) tensor.
+
+    Statistics are computed in float32 regardless of input dtype and the
+    result is cast back — the reference's GroupNorm32 semantics
+    (util.py:223-226).  The attention/VAE `Normalize` variant
+    (attention.py:76-77, model.py:38-39) is the same computation with
+    eps=1e-6; the fp32 cast is a no-op under the reference's fp32 path and
+    is what we want under bf16 on TPU.
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    xf = x.astype(jnp.float32)
+    grouped = xf.reshape(*x.shape[:-1], num_groups, c // num_groups)
+    # Normalize over all spatial dims + the within-group channel dim.
+    red_axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
+    mean = grouped.mean(axis=red_axes, keepdims=True)
+    var = grouped.var(axis=red_axes, keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(x.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, fp32 statistics (torch nn.LayerNorm parity)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """2x nearest-neighbor upsample of an NHWC tensor.
+
+    Matches torch ``F.interpolate(scale_factor=2, mode='nearest')``
+    (openaimodel.py:79, model.py:54).
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 average pool of an NHWC tensor (openaimodel.py:109)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
