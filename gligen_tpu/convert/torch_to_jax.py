@@ -98,6 +98,30 @@ def convert_state_dict(state: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def convert_unet(
+    state: Mapping[str, Any], sd_first_conv: Mapping[str, Any] | None = None
+) -> Dict[str, Any]:
+    """Convert a GLIGEN UNet state dict, filling the dual first conv.
+
+    Our functional rebuild of restore_first_conv_from_SD
+    (openaimodel.py:400-413) keeps both convs in params: the GLIGEN
+    (possibly widened) one and the original SD 4-channel conv from
+    ``SD_input_conv_weight_bias.pth``.  When no SD conv is supplied the
+    first 4 input channels of the GLIGEN conv are used (exact for
+    non-widened checkpoints, where the conv was frozen at SD weights).
+    """
+    params = convert_state_dict(state)
+    if sd_first_conv is not None:
+        params["first_conv_sd"] = convert_state_dict(sd_first_conv)
+    elif "input_blocks_0_0" in params:
+        gligen = params["input_blocks_0_0"]
+        params["first_conv_sd"] = {
+            "kernel": gligen["kernel"][:, :, :4, :],
+            "bias": gligen["bias"],
+        }
+    return params
+
+
 def split_official_sd_ckpt(state: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
     """4-way split of an official SD checkpoint by key prefix (trainer.py:64-85)."""
     out: Dict[str, Dict[str, Any]] = {
