@@ -21,6 +21,7 @@ This module only needs numpy; torch tensors are accepted via
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -33,8 +34,9 @@ def _to_numpy(t: Any) -> np.ndarray:
     return np.asarray(t.detach().cpu().float().numpy() if hasattr(t, "detach") else t)
 
 
-# Torch module paths whose 1x1 convs become Dense layers in flax.
-_CONV_AS_DENSE_SUFFIXES = ("proj_in", "proj_out")
+# Torch module names whose 1x1 convs become Dense layers in flax
+# (SpatialTransformer proj_in/out, VAE AttnBlock q/k/v/proj_out).
+_CONV_AS_DENSE_NAMES = {"proj_in", "proj_out", "q", "k", "v"}
 # Sequential wrapper indices that flax flattens away entirely.
 _COLLAPSED = {"to_out.0": "to_out"}
 
@@ -61,7 +63,7 @@ def torch_key_to_flax_path(key: str, tensor: np.ndarray) -> tuple[tuple[str, ...
     arr = tensor
     if leaf == "weight":
         if arr.ndim == 4:
-            if merged and merged[-1].endswith(_CONV_AS_DENSE_SUFFIXES) and arr.shape[2:] == (1, 1):
+            if merged and merged[-1] in _CONV_AS_DENSE_NAMES and arr.shape[2:] == (1, 1):
                 arr = arr[:, :, 0, 0].T  # (O,I,1,1) -> (I,O) dense kernel
             else:
                 arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
@@ -77,12 +79,6 @@ def torch_key_to_flax_path(key: str, tensor: np.ndarray) -> tuple[tuple[str, ...
         pass
     # scalar/vector parameters (alpha_attn, null features, embeddings...) keep names.
 
-    # SpatialTransformer's in-module GroupNorm params are flat "norm_scale"/
-    # "norm_bias" at the transformer level (models/layers.py).
-    if merged and merged[-1] == "norm" and leaf in ("scale", "bias"):
-        merged = merged[:-1]
-        leaf = f"norm_{leaf}"
-
     return tuple(merged + [leaf]), arr
 
 
@@ -96,6 +92,22 @@ def convert_state_dict(state: Mapping[str, Any]) -> Dict[str, Any]:
             node = node.setdefault(p, {})
         node[path[-1]] = arr
     return out
+
+
+def convert_vae(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert an AutoencoderKL state dict (CompVis naming, model.py).
+
+    The torch tree nests levels as ``down.0.block.1`` / ``up.2.attn.0`` /
+    ``mid.block_1``; our flax modules flatten those to single names
+    (``down_0_block_1`` etc.), so collapse them before the generic pass.
+    """
+    renamed = {}
+    for k, v in state.items():
+        k = re.sub(r"\b(down|up)\.(\d+)\.(block|attn)\.(\d+)\.", r"\1_\2_\3_\4.", k)
+        k = re.sub(r"\b(down|up)\.(\d+)\.(downsample|upsample)\.", r"\1_\2_\3.", k)
+        k = k.replace("mid.", "mid_")
+        renamed[k] = v
+    return convert_state_dict(renamed)
 
 
 def convert_unet(

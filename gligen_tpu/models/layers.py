@@ -45,6 +45,19 @@ def _dense(features: int, use_bias: bool = True, name: str | None = None, zero_i
     )
 
 
+class Normalize(nn.Module):
+    """attention.py:76-77 / model.py:38-39: GroupNorm(32, eps=1e-6)."""
+
+    @nn.compact
+    def __call__(self, x):
+        from gligen_tpu.ops.basic import group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with torch parity (eps 1e-5, fp32 stats, affine)."""
 
@@ -258,12 +271,8 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context, objs, gate_scale: jax.Array | float = 1.0):
         b, h, w, c = x.shape
-        from gligen_tpu.ops.basic import group_norm
-
-        scale = self.param("norm_scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("norm_bias", nn.initializers.zeros, (c,), jnp.float32)
         x_in = x
-        x = group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+        x = Normalize(name="norm")(x)
         x = _dense(self.heads * self.dim_head, name="proj_in", dtype=self.dtype)(x)
         x = x.reshape(b, h * w, -1)
         block_cls = BasicTransformerBlock
