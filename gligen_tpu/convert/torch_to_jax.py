@@ -62,6 +62,9 @@ def torch_key_to_flax_path(key: str, tensor: np.ndarray) -> tuple[tuple[str, ...
 
     arr = tensor
     if leaf == "weight":
+        if merged and merged[-1].endswith("embedding") and arr.ndim == 2:
+            # nn.Embedding table: (vocab, dim) kept as-is, flax leaf "embedding"
+            return tuple(merged + ["embedding"]), arr
         if arr.ndim == 4:
             if merged and merged[-1] in _CONV_AS_DENSE_NAMES and arr.shape[2:] == (1, 1):
                 arr = arr[:, :, 0, 0].T  # (O,I,1,1) -> (I,O) dense kernel
@@ -106,6 +109,21 @@ def convert_vae(state: Mapping[str, Any]) -> Dict[str, Any]:
         k = re.sub(r"\b(down|up)\.(\d+)\.(block|attn)\.(\d+)\.", r"\1_\2_\3_\4.", k)
         k = re.sub(r"\b(down|up)\.(\d+)\.(downsample|upsample)\.", r"\1_\2_\3.", k)
         k = k.replace("mid.", "mid_")
+        renamed[k] = v
+    return convert_state_dict(renamed)
+
+
+def convert_clip_text(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert an HF CLIPTextModel state dict (FrozenCLIPEmbedder's
+    ``transformer``, modules.py:149) to our flat CLIPTextModel layout."""
+    renamed = {}
+    for k, v in state.items():
+        if "position_ids" in k:
+            continue  # buffer, not a parameter
+        k = k.replace("text_model.embeddings.", "")
+        k = k.replace("text_model.encoder.", "")
+        k = k.replace("text_model.", "")
+        k = k.replace("mlp.fc", "mlp_fc")
         renamed[k] = v
     return convert_state_dict(renamed)
 
