@@ -1,0 +1,5 @@
+from gligen_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+)
