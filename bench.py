@@ -1,0 +1,103 @@
+"""Benchmark: 512x512 50-step PLMS grounded generation on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N}
+
+Baseline: the north-star target from BASELINE.json — < 2 s/image/chip for
+512^2 PLMS-50 with CFG on TPU v5e — i.e. 0.5 img/s/chip; vs_baseline is
+our throughput divided by that target (>1.0 = target beaten).
+
+The run is the full flagship path: CLIP text encode, the single-scan PLMS
+program with the CFG pair batched into one UNet call (~101 UNet-forward
+equivalents per image), and VAE decode — random weights (identical FLOPs
+to converted checkpoints), bf16 compute / fp32 params.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true", help="tiny fast run for verification")
+    args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.steps, args.repeats = 1, 2, 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    comps = GligenComponents.create(dtype=jnp.bfloat16, rng=rng)
+    init_s = time.time() - t0
+
+    pipe = GenerationPipeline(comps)
+    b = args.batch
+    ids = np.full((b, 77), 49407, np.int32)
+    ids[:, 0] = 49406
+    uc_ids = ids.copy()
+    grounding = {
+        "boxes": np.zeros((b, 30, 4), np.float32),
+        "masks": np.zeros((b, 30), np.float32),
+        "positive_embeddings": np.zeros((b, 30, 768), np.float32),
+    }
+    grounding["boxes"][:, 0] = [0.1, 0.2, 0.5, 0.8]
+    grounding["masks"][:, 0] = 1.0
+
+    def run(seed):
+        img = pipe.generate(
+            ids, uc_ids, grounding,
+            steps=args.steps, guidance_scale=7.5, sampler="plms",
+            rng=jax.random.PRNGKey(seed),
+        )
+        jax.block_until_ready(img)
+        return img
+
+    t0 = time.time()
+    img = run(0)  # compile + run
+    compile_s = time.time() - t0
+    assert np.isfinite(np.asarray(img)).all()
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
+    img_per_sec = b / dt
+
+    result = {
+        "metric": "images_per_sec_per_chip",
+        "value": round(img_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / 0.5, 4),
+    }
+    meta = {
+        "batch": b,
+        "steps": args.steps,
+        "sec_per_image": round(dt / b, 3),
+        "sec_per_batch": round(dt, 3),
+        "compile_sec": round(compile_s, 1),
+        "init_sec": round(init_s, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(meta), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
