@@ -75,9 +75,9 @@ class AttnBlock(nn.Module):
         hn = Normalize(name="norm")(x).reshape(b, h * w, c)
         dense = lambda name: nn.Dense(c, name=name, dtype=self.dtype, param_dtype=jnp.float32)
         q, k, v = dense("q")(hn), dense("k")(hn), dense("v")(hn)
-        sim = jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim.astype(jnp.float32) * (c**-0.5), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bij,bjc->bic", attn, v, preferred_element_type=jnp.float32)
+        from gligen_tpu.ops.attention import multi_head_attention
+
+        out = multi_head_attention(q, k, v, heads=1)
         out = dense("proj_out")(out.astype(x.dtype))
         return x + out.reshape(b, h, w, c)
 

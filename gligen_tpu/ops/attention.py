@@ -17,10 +17,40 @@ always available.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Global attention backend: "auto" uses the Pallas flash kernel on TPU for
+# large sequence products and falls back to XLA einsum elsewhere.
+_IMPL = os.environ.get("GLIGEN_TPU_ATTENTION", "auto")
+# Minimum N*M above which flash wins over the fused-einsum path.
+_FLASH_MIN_SCORES = 256 * 256
+
+
+def set_attention_impl(impl: str) -> None:
+    """impl: 'auto' | 'xla' | 'pallas'."""
+    global _IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def _use_flash(n: int, m: int, implementation: Optional[str]) -> bool:
+    impl = implementation or _IMPL
+    if impl == "xla":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "pallas":
+        return True
+    # m >= 256: short-KV sites (77-token cross-attn) are matmul-overhead
+    # bound, not score-materialization bound — XLA is as fast there.
+    return on_tpu and m >= 256 and n * m >= _FLASH_MIN_SCORES
 
 
 def multi_head_attention(
@@ -29,14 +59,17 @@ def multi_head_attention(
     v: jax.Array,
     heads: int,
     key_mask: Optional[jax.Array] = None,
-    implementation: str = "xla",
+    implementation: Optional[str] = None,
 ) -> jax.Array:
     """Multi-head softmax attention over packed-head projections.
 
     q: (B, N, H*C), k/v: (B, M, H*C), key_mask: optional (B, M) bool
     (True = attend).  Returns (B, N, H*C) in q's dtype.
     """
-    del implementation  # Pallas dispatch is handled by callers for fused sites.
+    if _use_flash(q.shape[1], k.shape[1], implementation):
+        from gligen_tpu.ops.pallas_attention import mha_flash
+
+        return mha_flash(q, k, v, heads, key_mask=key_mask)
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads

@@ -1,0 +1,71 @@
+"""Flash-attention kernel parity vs the XLA einsum path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gligen_tpu.ops.attention import multi_head_attention
+from gligen_tpu.ops.pallas_attention import flash_attention, mha_flash
+
+RNG = np.random.default_rng(11)
+
+
+def _rand(*shape):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "bh,n,m,d",
+    [
+        (4, 256, 256, 40),     # unet ds4 self-attn shape (per-head)
+        (2, 1024, 1024, 80),   # ds2
+        (2, 300, 77, 160),     # cross-attn, ragged N
+        (1, 512, 542, 64),     # gated SA: kv = visual+grounding, ragged M
+        (1, 64, 64, 512),      # VAE bottleneck single head
+    ],
+)
+def test_flash_matches_xla(bh, n, m, d):
+    q, k, v = _rand(bh, n, d), _rand(bh, m, d), _rand(bh, m, d)
+    scale = d**-0.5
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    want = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+    got = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_with_key_mask_matches_xla():
+    b, h, n, m, c = 2, 2, 128, 77, 32
+    q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
+    mask = np.zeros((b, m), bool)
+    mask[0, :50] = True
+    mask[1, :] = True
+    want = multi_head_attention(q, k, v, h, key_mask=jnp.asarray(mask), implementation="xla")
+    got = mha_flash(q, k, v, h, key_mask=jnp.asarray(mask), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_bf16_inputs():
+    q, k, v = (_rand(2, 256, 40).astype(jnp.bfloat16) for _ in range(3))
+    got = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32), k.astype(jnp.float32)) * (40**-0.5)
+    want = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=2e-2
+    )
+
+
+def test_mha_dispatch_flag():
+    from gligen_tpu.ops import attention as A
+
+    q, k, v = _rand(1, 300, 64), _rand(1, 300, 64), _rand(1, 300, 64)
+    xla = multi_head_attention(q, k, v, 2, implementation="xla")
+    prev = A.get_attention_impl()
+    try:
+        A.set_attention_impl("xla")
+        auto = multi_head_attention(q, k, v, 2)
+    finally:
+        A.set_attention_impl(prev)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(xla), atol=1e-6)
