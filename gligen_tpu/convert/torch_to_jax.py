@@ -128,6 +128,21 @@ def convert_clip_text(state: Mapping[str, Any]) -> Dict[str, Any]:
     return convert_state_dict(renamed)
 
 
+def convert_clip_vision(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert an HF CLIPVisionModelWithProjection state dict (the image
+    tower behind gligen_inference.py:104-116's CLIPModel image_embeds)."""
+    renamed = {}
+    for k, v in state.items():
+        if "position_ids" in k:
+            continue
+        k = k.replace("vision_model.embeddings.", "")
+        k = k.replace("vision_model.encoder.", "")
+        k = k.replace("vision_model.", "")
+        k = k.replace("mlp.fc", "mlp_fc")
+        renamed[k] = v
+    return convert_state_dict(renamed)
+
+
 def convert_unet(
     state: Mapping[str, Any], sd_first_conv: Mapping[str, Any] | None = None
 ) -> Dict[str, Any]:

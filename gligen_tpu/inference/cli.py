@@ -1,0 +1,403 @@
+"""Inference CLI (reference gligen_inference.py).
+
+``python -m gligen_tpu.inference.cli --ckpt ... [--meta meta.json]`` runs
+grounded generation scenarios: per-modality batch preparation
+(gligen_inference.py:144-338), CLIP phrase/image feature extraction with
+projection-matrix reprojection and x28.7 renorm (:91-128), alpha-stage
+scheduling, inpainting (box->mask + VAE-encoded image), PLMS-50/DDIM-250
+select, and PNG saving (:430-446).
+
+Without a checkpoint (``--ckpt random``) it runs the full path on
+randomly initialized weights — a smoke/perf mode, not image quality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+MAX_OBJS = 30
+
+
+def crop_and_resize(pil_image, size: int = 512):
+    """Center-crop to square then resize (gligen_inference.py:190-195)."""
+    w, h = pil_image.size
+    crop = min(w, h)
+    left, top = (w - crop) // 2, (h - crop) // 2
+    return pil_image.crop((left, top, left + crop, top + crop)).resize((size, size))
+
+
+def complete_mask(has_mask, max_objs: int = MAX_OBJS) -> np.ndarray:
+    """gligen_inference.py:131-141."""
+    mask = np.ones((1, max_objs), np.float32)
+    if has_mask is None:
+        return mask
+    if isinstance(has_mask, (int, float)):
+        return mask * has_mask
+    for idx, value in enumerate(has_mask):
+        mask[0, idx] = value
+    return mask
+
+
+def load_image_pm1(path: str, size: int = 512, mode: str = "RGB") -> np.ndarray:
+    from PIL import Image
+
+    img = crop_and_resize(Image.open(path).convert(mode), size)
+    arr = np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+class FeatureExtractor:
+    """CLIP phrase/image features (gligen_inference.py:100-127)."""
+
+    def __init__(self, pipe, vision_params=None, projection_matrix=None):
+        self.pipe = pipe
+        self.vision_params = vision_params
+        self.projection_matrix = projection_matrix
+        self._vision = None
+
+    def text_feature(self, phrase: str) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ids = self.pipe.tokenizer([phrase]) if hasattr(self.pipe, "tokenizer") else None
+        te = self.pipe.c.text_encoder
+        _, _, pooled = te.apply(
+            {"params": self.pipe.params["text_encoder"]}, jnp.asarray(ids)
+        )
+        return np.asarray(pooled[0])
+
+    def image_feature(self, path: str) -> np.ndarray:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from gligen_tpu.models.clip_vision import CLIPVisionModel, clip_preprocess
+
+        assert self.vision_params is not None, "image grounding needs CLIP vision weights"
+        assert self.projection_matrix is not None, "image grounding needs projection_matrix"
+        if self._vision is None:
+            self._vision = CLIPVisionModel()
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        pixels = clip_preprocess(jnp.asarray(img)[None])
+        embeds, _ = self._vision.apply({"params": self.vision_params}, pixels)
+        feat = np.asarray(embeds[0]) @ self.projection_matrix  # project(x, P.T)
+        return feat / np.linalg.norm(feat) * 28.7
+
+
+# -------------------------------------------------- per-modality batch prep
+
+def prepare_batch_box(meta, batch: int, features: FeatureExtractor, max_objs=MAX_OBJS):
+    """Box+text(+image) grounding (gligen_inference.py:144-187)."""
+    phrases = meta.get("phrases")
+    images = meta.get("images")
+    images = [None] * len(phrases) if images is None else images
+    phrases = [None] * len(images) if phrases is None else phrases
+
+    boxes = np.zeros((max_objs, 4), np.float32)
+    masks = np.zeros(max_objs, np.float32)
+    text_masks = np.zeros(max_objs, np.float32)
+    image_masks = np.zeros(max_objs, np.float32)
+    text_embeddings = np.zeros((max_objs, 768), np.float32)
+    image_embeddings = np.zeros((max_objs, 768), np.float32)
+
+    for idx, (box, phrase, image) in enumerate(zip(meta["locations"], phrases, images)):
+        boxes[idx] = box
+        masks[idx] = 1
+        if phrase is not None:
+            text_embeddings[idx] = features.text_feature(phrase)
+            text_masks[idx] = 1
+        if image is not None:
+            image_embeddings[idx] = features.image_feature(image)
+            image_masks[idx] = 1
+
+    rep = lambda a: np.repeat(a[None], batch, axis=0)
+    return {
+        "boxes": rep(boxes),
+        "masks": rep(masks),
+        "text_masks": rep(text_masks) * complete_mask(meta.get("text_mask"), max_objs),
+        "image_masks": rep(image_masks) * complete_mask(meta.get("image_mask"), max_objs),
+        "text_embeddings": rep(text_embeddings),
+        "image_embeddings": rep(image_embeddings),
+    }
+
+
+def prepare_batch_kp(meta, batch: int, max_persons: int = 8):
+    """gligen_inference.py:199-218."""
+    points = np.zeros((max_persons * 17, 2), np.float32)
+    idx = 0
+    for person in meta["locations"]:
+        for kp in person:
+            points[idx] = kp
+            idx += 1
+    masks = (points.mean(axis=1) != 0).astype(np.float32)
+    return {
+        "points": np.repeat(points[None], batch, 0),
+        "masks": np.repeat(masks[None], batch, 0),
+    }
+
+
+def prepare_batch_spatial(meta, batch: int, key: str, image_key: str):
+    """hed/canny/depth/normal maps (gligen_inference.py:222-297)."""
+    arr = load_image_pm1(meta[image_key], 512, mode="RGB")
+    return {
+        key: np.repeat(arr[None], batch, 0),
+        "mask": np.ones(batch, np.float32),
+    }
+
+
+def prepare_batch_sem(meta, batch: int, num_classes: int = 152):
+    """gligen_inference.py:317-338: label png -> one-hot."""
+    from PIL import Image
+
+    sem = Image.open(meta["sem_image"]).convert("L")
+    w, h = sem.size
+    crop = min(w, h)
+    sem = sem.crop(((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2))
+    sem = np.asarray(sem.resize((512, 512), Image.NEAREST), np.int64)
+    onehot = np.zeros((512, 512, num_classes), np.float32)
+    np.put_along_axis(onehot, sem[..., None], 1.0, axis=-1)
+    return {
+        "sem": np.repeat(onehot[None], batch, 0),
+        "mask": np.ones(batch, np.float32),
+    }
+
+
+def prepare_batch_for(meta, batch: int, features: FeatureExtractor):
+    """Modality dispatch on ckpt name substring (gligen_inference.py:361-376)."""
+    ckpt = meta["ckpt"]
+    if "keypoint" in ckpt:
+        return prepare_batch_kp(meta, batch), None
+    for mod, key, img_key in (
+        ("hed", "hed_edge", "hed_image"),
+        ("canny", "canny_edge", "canny_image"),
+        ("depth", "depth", "depth_image"),
+        ("normal", "normal", "normal_image"),
+    ):
+        if mod in ckpt:
+            b = prepare_batch_spatial(meta, batch, key, img_key)
+            return b, b[key]
+    if "sem" in ckpt:
+        b = prepare_batch_sem(meta, batch)
+        return b, b["sem"]
+    return prepare_batch_box(meta, batch, features), None
+
+
+# -------------------------------------------------------------------- run
+
+def build_pipeline(ckpt: str, args) -> "Any":
+    import jax
+    import jax.numpy as jnp
+
+    from gligen_tpu.data.tokenizer import load_tokenizer
+    from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
+    from gligen_tpu.training import checkpoints as ckpt_io
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if ckpt == "random" or ckpt.startswith("random:"):
+        unet_config: Dict[str, Any] = {}
+        if "inpaint" in ckpt:
+            unet_config["inpaint_mode"] = True
+        for tag in ("keypoint", "hed", "canny", "depth", "normal", "sem"):
+            if tag in ckpt:
+                params = {"in_dim": 152} if tag == "sem" else {}
+                unet_config["grounding_tokenizer"] = {"target": tag, "params": params}
+                if tag != "keypoint":
+                    unet_config["grounding_downsampler"] = {"target": tag, "params": params}
+        comps = GligenComponents.create(
+            unet_config=unet_config, dtype=dtype, rng=jax.random.PRNGKey(args.seed)
+        )
+    else:
+        params, config = ckpt_io.load_gligen_torch_checkpoint(
+            ckpt, sd_first_conv_path=args.sd_input_conv
+        )
+        model_params = dict(config.get("model", {}).get("params", {}))
+        model_params.pop("image_size", None)
+        model_params.pop("use_checkpoint", None)
+        # map reference dotted grounding targets through the registry aliases
+        comps = GligenComponents.create(unet_config=model_params, dtype=dtype)
+        comps.params.update(params)
+    pipe = GenerationPipeline(comps)
+    pipe.tokenizer = load_tokenizer(args.vocab_path)
+    return pipe
+
+
+def run(meta: Dict[str, Any], args) -> List[str]:
+    """One scenario end to end; returns saved file paths."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = build_pipeline(meta["ckpt"], args)
+    projection = None
+    if args.projection_matrix and os.path.exists(args.projection_matrix):
+        from gligen_tpu.data.box_dataset import _load_projection_matrix
+
+        projection = _load_projection_matrix(args.projection_matrix)
+    features = FeatureExtractor(pipe, vision_params=None, projection_matrix=projection)
+    if meta.get("images") and args.clip_vision_ckpt:
+        raise NotImplementedError("external CLIP vision weights loading: use converter")
+
+    batch = args.batch_size
+    grounding, grounding_extra = prepare_batch_for(meta, batch, features)
+
+    ids = pipe.tokenizer([meta["prompt"]] * batch)
+    uc_ids = pipe.tokenizer([args.negative_prompt or ""] * batch)
+
+    inpaint_image = inpaint_mask = None
+    if "input_image" in meta:
+        from gligen_tpu.data.inpaint_masks import draw_masks_from_boxes
+
+        inpaint_mask = draw_masks_from_boxes(
+            np.repeat(np.asarray(meta["locations"], np.float32)[None], batch, 0), 64
+        )
+        inpaint_image = np.repeat(load_image_pm1(meta["input_image"], 512)[None], batch, 0)
+
+    images = pipe.generate(
+        ids,
+        uc_ids,
+        grounding,
+        steps=250 if args.no_plms else 50,
+        sampler="ddim" if args.no_plms else "plms",
+        guidance_scale=args.guidance_scale,
+        alpha_stages=meta.get("alpha_type"),
+        grounding_extra=grounding_extra,
+        inpaint_image=inpaint_image,
+        inpaint_mask=inpaint_mask,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    return save_images(np.asarray(images), os.path.join(args.folder, meta["save_folder_name"]))
+
+
+def save_images(images: np.ndarray, folder: str) -> List[str]:
+    """gligen_inference.py:434-446: sequential PNG numbering."""
+    from PIL import Image
+
+    os.makedirs(folder, exist_ok=True)
+    start = len(os.listdir(folder))
+    paths = []
+    for i, img in enumerate(images):
+        path = os.path.join(folder, f"{start + i}.png")
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        paths.append(path)
+    return paths
+
+
+def default_meta_list(ckpt_root: str = "gligen_checkpoints") -> List[Dict[str, Any]]:
+    """The reference's demonstration scenarios (gligen_inference.py:467-637)."""
+    j = lambda name: os.path.join(ckpt_root, name)
+    return [
+        dict(
+            ckpt=j("checkpoint_generation_text.pth"),
+            prompt="a teddy bear sitting next to a bird",
+            phrases=["a teddy bear", "a bird"],
+            locations=[[0.0, 0.09, 0.33, 0.76], [0.55, 0.11, 1.0, 0.8]],
+            alpha_type=[0.3, 0.0, 0.7],
+            save_folder_name="generation_box_text",
+        ),
+        dict(
+            ckpt=j("checkpoint_inpainting_text.pth"),
+            input_image="inference_images/dalle2_museum.jpg",
+            prompt="a corgi and a cake",
+            phrases=["corgi", "cake"],
+            locations=[[0.25, 0.28, 0.42, 0.52], [0.14, 0.58, 0.58, 0.92]],
+            save_folder_name="inpainting_box_text",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_text_image.pth"),
+            prompt="an alarm clock sitting on the beach",
+            images=["inference_images/clock.png"],
+            phrases=[None],
+            locations=[[0.0, 0.09, 0.53, 0.76]],
+            alpha_type=[1.0, 0.0, 0.0],
+            save_folder_name="generation_box_image",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_hed.pth"),
+            prompt="a living room",
+            hed_image="inference_images/hed.png",
+            save_folder_name="hed",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_canny.pth"),
+            prompt="a photo of a bird",
+            canny_image="inference_images/canny.png",
+            save_folder_name="canny",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_depth.pth"),
+            prompt="a bedroom",
+            depth_image="inference_images/depth.png",
+            save_folder_name="depth",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_normal.pth"),
+            prompt="a room",
+            normal_image="inference_images/normal.png",
+            save_folder_name="normal",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_sem.pth"),
+            prompt="a park",
+            sem_image="inference_images/sem.png",
+            save_folder_name="sem",
+        ),
+        dict(
+            ckpt=j("checkpoint_generation_keypoint.pth"),
+            prompt="two people dancing",
+            locations=[[[0.5, 0.2]] * 17],
+            save_folder_name="keypoint",
+        ),
+    ]
+
+
+def main(argv: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--folder", type=str, default="generation_samples")
+    parser.add_argument("--batch_size", type=int, default=5)
+    parser.add_argument("--no_plms", action="store_true")
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument(
+        "--negative_prompt", type=str,
+        default="longbody, lowres, bad anatomy, bad hands, missing fingers, "
+        "extra digit, fewer digits, cropped, worst quality, low quality",
+    )
+    parser.add_argument("--ckpt", type=str, default=None, help="single ckpt override; 'random' for smoke")
+    parser.add_argument("--meta", type=str, default=None, help="json file with meta dict(s)")
+    parser.add_argument("--ckpt_root", type=str, default="gligen_checkpoints")
+    parser.add_argument("--sd_input_conv", type=str, default="SD_input_conv_weight_bias.pth")
+    parser.add_argument("--projection_matrix", type=str, default="projection_matrix")
+    parser.add_argument("--clip_vision_ckpt", type=str, default=None)
+    parser.add_argument("--vocab_path", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    if args.meta:
+        with open(args.meta) as f:
+            metas = json.load(f)
+        metas = metas if isinstance(metas, list) else [metas]
+    else:
+        metas = default_meta_list(args.ckpt_root)
+    if args.ckpt:
+        for m in metas:
+            m["ckpt"] = args.ckpt if "random" not in args.ckpt else _tag_random(m, args.ckpt)
+
+    for meta in metas:
+        paths = run(meta, args)
+        print(f"{meta['save_folder_name']}: wrote {len(paths)} images -> {paths[0]}")
+
+
+def _tag_random(meta, base):
+    # keep modality substring dispatch working in smoke mode
+    for tag in ("keypoint", "hed", "canny", "depth", "normal", "sem", "inpaint"):
+        if tag in meta.get("save_folder_name", "") or tag in meta["ckpt"]:
+            return f"{base}:{tag}"
+    return base
+
+
+if __name__ == "__main__":
+    main()
