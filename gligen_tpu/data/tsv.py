@@ -58,6 +58,8 @@ class TSVFile:
         self._class_boundaries = None
         self._len: Optional[int] = None
         self.pid: Optional[int] = None
+        self._native = None
+        self._native_tried = False
         if not op.isfile(self.lineidx) and if_generate_lineidx:
             generate_lineidx(self.tsv_file, self.lineidx)
 
@@ -112,11 +114,26 @@ class TSVFile:
             self._len = len(self._sample_indices)
         return self._len
 
+    def _ensure_native(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from gligen_tpu.data.native import NativeTSV
+
+                self._native = NativeTSV(self.tsv_file, self.lineidx)
+            except OSError:
+                self._native = None
+        return self._native
+
     def seek(self, idx: int) -> List[str]:
-        self._ensure_tsv_opened()
         self._ensure_lineidx_loaded()
-        pos = int(self._lineidx[self._sample_indices[idx]])
-        self._fp.seek(pos)
+        row = int(self._sample_indices[idx])
+        native = self._ensure_native()
+        if native is not None:
+            line = native.read_row(row).decode("utf-8")
+            return [s.strip() for s in line.split("\t")]
+        self._ensure_tsv_opened()
+        self._fp.seek(int(self._lineidx[row]))
         return [s.strip() for s in self._fp.readline().decode("utf-8").split("\t")]
 
     def __getitem__(self, index: int) -> List[str]:
