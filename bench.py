@@ -17,6 +17,7 @@ to converted checkpoints), bf16 compute / fp32 params.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -35,6 +36,13 @@ def main():
         args.batch, args.steps, args.repeats = 1, 2, 1
 
     import jax
+
+    # Persistent compilation cache: the 50-step scan compile is ~10-18 min
+    # over the remote axon compiler; cached recompiles are seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     import jax.numpy as jnp
 
     from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents

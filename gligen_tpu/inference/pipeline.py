@@ -52,6 +52,8 @@ class GligenComponents:
         (configs/flickr_text.yaml).  Real weights come from the converter."""
         unet_config = dict(unet_config or {})
         unet_config.setdefault("grounding_tokenizer", {"target": "text", "params": {}})
+        # remat only pays off under grad; inference wants faster compile/run
+        unet_config.setdefault("use_checkpoint", False)
         unet = UNetModel(dtype=dtype, **unet_config)
         vae = AutoencoderKL(dtype=dtype)
         text = CLIPTextModel(dtype=dtype)
