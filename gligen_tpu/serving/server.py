@@ -1,0 +1,211 @@
+"""Grounded-generation serving (reference L7: demo/app.py + the legacy
+task_grounded_generation pipeline).
+
+The reference serves a Gradio sketchpad UI whose core contract is an
+*instruction* dict -> generated images (demo/app.py:152-213 inference(),
+demo/gligen/task_grounded_generation.py:188 grounded_generation_box).
+Here that contract is a small stdlib HTTP JSON API suited to production
+TPU serving (no gradio dependency in this image):
+
+  POST /generate
+    {"prompt": str, "phrases": [...], "locations": [[x0,y0,x1,y1]...],
+     "batch_size": n, "guidance_scale": s, "alpha_type": [a,b,c],
+     "style_image": b64?, "task": "generation"|"inpainting",
+     "input_image": b64?, "seed": int}
+  -> {"images": [b64 png, ...], "latency_sec": t}
+  GET /health -> {"status": "ok"}
+
+Style grounding rides the reference's trick (demo/app.py:169-181): the
+style image is appended as an extra grounding slot with location
+[0, 0, 1, 0.01].  Batched multi-prompt serving shards the batch over a
+device mesh when one is provided (BASELINE v5e-8 config).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from gligen_tpu.inference.cli import MAX_OBJS, complete_mask
+
+
+def _b64_to_image(data: str):
+    from PIL import Image
+
+    return Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+
+
+def _image_to_b64(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class ServingSession:
+    """Owns a warm GenerationPipeline; thread-safe generate()."""
+
+    def __init__(self, pipeline, tokenizer, feature_extractor=None, default_steps: int = 50):
+        self.pipe = pipeline
+        self.tokenizer = tokenizer
+        self.features = feature_extractor
+        self.default_steps = default_steps
+        self._lock = threading.Lock()
+
+    # ---- instruction -> grounding batch (app.py:152-213 semantics) ----
+    def _grounding_from_instruction(self, inst: Dict[str, Any], batch: int):
+        phrases = list(inst.get("phrases", []))
+        locations = [list(map(float, l)) for l in inst.get("locations", [])]
+        has_style = bool(inst.get("style_image"))
+        if has_style:
+            phrases = phrases + ["style"]
+            locations = locations + [[0.0, 0.0, 1.0, 0.01]]  # app.py:176-181
+
+        n = len(locations)
+        boxes = np.zeros((MAX_OBJS, 4), np.float32)
+        masks = np.zeros(MAX_OBJS, np.float32)
+        text_masks = np.zeros(MAX_OBJS, np.float32)
+        image_masks = np.zeros(MAX_OBJS, np.float32)
+        text_emb = np.zeros((MAX_OBJS, 768), np.float32)
+        image_emb = np.zeros((MAX_OBJS, 768), np.float32)
+
+        for i in range(n):
+            boxes[i] = locations[i]
+            masks[i] = 1.0
+            if i < len(phrases) and phrases[i] and not (has_style and i == n - 1):
+                if self.features is not None:
+                    text_emb[i] = self.features.text_feature(phrases[i])
+                text_masks[i] = 1.0
+        if has_style and self.features is not None:
+            image_emb[n - 1] = self.features.image_feature_from_pil(
+                _b64_to_image(inst["style_image"])
+            )
+            image_masks[n - 1] = 1.0
+
+        rep = lambda a: np.repeat(a[None], batch, axis=0)
+        grounding = {
+            "boxes": rep(boxes),
+            "masks": rep(masks),
+            "text_embeddings": rep(text_emb),
+            "text_masks": rep(text_masks) * complete_mask(inst.get("text_mask"), MAX_OBJS),
+            "image_embeddings": rep(image_emb),
+            "image_masks": rep(image_masks) * complete_mask(inst.get("image_mask"), MAX_OBJS),
+        }
+        if not self._uses_image_grounding():
+            grounding = {
+                "boxes": grounding["boxes"],
+                "masks": grounding["masks"] * grounding["text_masks"],
+                "positive_embeddings": grounding["text_embeddings"],
+            }
+        return grounding
+
+    def _uses_image_grounding(self) -> bool:
+        tok = (self.pipe.c.unet.grounding_tokenizer or {}).get("target", "text")
+        return "text_image" in tok
+
+    def generate(self, inst: Dict[str, Any]) -> Dict[str, Any]:
+        import jax
+
+        batch = int(inst.get("batch_size", 1))
+        grounding = self._grounding_from_instruction(inst, batch)
+        ids = self.tokenizer([inst.get("prompt", "")] * batch)
+        uc_ids = self.tokenizer([inst.get("negative_prompt", "")] * batch)
+
+        inpaint_image = inpaint_mask = None
+        if inst.get("task") == "inpainting" and inst.get("input_image"):
+            from gligen_tpu.data.inpaint_masks import draw_masks_from_boxes
+            from gligen_tpu.inference.cli import crop_and_resize
+
+            img = crop_and_resize(_b64_to_image(inst["input_image"]), 512)
+            arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
+            inpaint_image = np.repeat(arr[None], batch, 0)
+            locs = np.asarray(inst.get("locations", []), np.float32)
+            inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), 64)
+
+        t0 = time.time()
+        with self._lock:
+            images = self.pipe.generate(
+                ids, uc_ids, grounding,
+                steps=int(inst.get("steps", self.default_steps)),
+                guidance_scale=float(inst.get("guidance_scale", 7.5)),
+                alpha_stages=inst.get("alpha_type"),
+                inpaint_image=inpaint_image,
+                inpaint_mask=inpaint_mask,
+                rng=jax.random.PRNGKey(int(inst.get("seed", 0))),
+            )
+        images = np.asarray(images)
+        return {
+            "images": [_image_to_b64(img) for img in images],
+            "latency_sec": round(time.time() - t0, 3),
+        }
+
+
+def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                inst = json.loads(self.rfile.read(length))
+                self._send(200, session.generate(inst))
+            except Exception as e:  # noqa: BLE001 — surface to client
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, default="random")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--vocab_path", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--sd_input_conv", type=str, default="SD_input_conv_weight_bias.pth")
+    p.add_argument("--projection_matrix", type=str, default="projection_matrix")
+    p.add_argument("--clip_vision_ckpt", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from gligen_tpu.data.tokenizer import load_tokenizer
+    from gligen_tpu.inference.cli import FeatureExtractor, build_pipeline
+
+    pipe = build_pipeline(args.ckpt, args)
+    tokenizer = load_tokenizer(args.vocab_path)
+    pipe.tokenizer = tokenizer
+    session = ServingSession(pipe, tokenizer, FeatureExtractor(pipe))
+    server = make_server(session, port=args.port)
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

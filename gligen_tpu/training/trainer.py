@@ -64,7 +64,10 @@ class TrainerConfig:
     dtype: str = "bfloat16"
     seed: int = 123
     preview_samples: bool = False  # PLMS preview grids at save points
+    preview_steps: int = 50
+    preview_guidance: float = 5.0  # trainer.py:463 uses scale 5 for previews
     vocab_path: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 10..12
 
 
 class Trainer:
@@ -241,9 +244,15 @@ class Trainer:
         t_last = time.time()
         with self.mesh:
             for it in range(self.starting_iter, total):
-                batch = shard_batch(self.mesh, loader.__next__())
+                if run.profile_dir and it == self.starting_iter + 10:
+                    jax.profiler.start_trace(run.profile_dir)
+                host_batch = loader.__next__()
+                batch = shard_batch(self.mesh, host_batch)
                 key, sub = jax.random.split(key)
                 state, metrics = self._jitted(state, frozen, aux, batch, sub)
+                if run.profile_dir and it == self.starting_iter + 12:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
 
                 if is_process_zero() and it % run.log_every_iters == 0:
                     loss = float(jax.device_get(metrics["loss"]))
@@ -255,6 +264,8 @@ class Trainer:
                     or (it > self.starting_iter and it % run.save_every_iters == 0)
                 ):
                     self._save(state)
+                    if run.preview_samples:
+                        self.save_preview(state, host_batch, it)
         self.state = jax.device_get(state)
         return self.state
 
@@ -271,6 +282,65 @@ class Trainer:
             {"state": _state_tree(host_state)},
             config={"model": _jsonable(self.model_config), "run": dataclasses.asdict(self.run)},
         )
+
+    def save_preview(self, state, host_batch: Dict[str, Any], it: int):
+        """In-training PLMS sample grid (trainer.py:419-470's de-facto
+        regression test): generate from the current batch's conditioning
+        next to the real images + captions.txt."""
+        from PIL import Image
+
+        from gligen_tpu.diffusion.samplers import plms_sample
+
+        params = {"params": self.model_params(jax.device_get(state))}
+        b = host_batch["image"].shape[0]
+        lat = self.latent_size
+        key = jax.random.PRNGKey(1000 + it)
+
+        context = self.text_encoder.apply(
+            {"params": self.aux_params["text_encoder"]},
+            jnp.asarray(host_batch["input_ids"]), method=self.text_encoder.encode,
+        )
+        uc = self.text_encoder.apply(
+            {"params": self.aux_params["text_encoder"]},
+            jnp.zeros_like(jnp.asarray(host_batch["input_ids"])),
+            method=self.text_encoder.encode,
+        )
+        grounding = jax.tree.map(jnp.asarray, host_batch["grounding"])
+        null_g = jax.tree.map(jnp.zeros_like, grounding)
+        scale = self.run.preview_guidance
+
+        def eps_fn(x, t, gate, use_sd):
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t])
+            ctx2 = jnp.concatenate([context, uc])
+            g2 = jax.tree.map(lambda a, z: jnp.concatenate([a, z]), grounding, null_g)
+            e = self.unet.apply(
+                params, x2, t2, ctx2, g2, gate_scale=gate, use_sd_conv=use_sd
+            )
+            e_c, e_u = jnp.split(e, 2)
+            return e_u + scale * (e_c - e_u)
+
+        noise = jax.random.normal(key, (b, lat, lat, 4))
+        z = jax.jit(
+            lambda n: plms_sample(eps_fn, self.schedule, n, steps=self.run.preview_steps)
+        )(noise)
+        img = self.vae.apply(
+            {"params": self.aux_params["autoencoder"]}, z, method=self.vae.decode
+        )
+        fake = np.asarray(jnp.clip(img, -1, 1) * 0.5 + 0.5)
+        real = np.asarray(host_batch["image"]) * 0.5 + 0.5
+
+        grid = np.concatenate(
+            [np.concatenate(list(fake), axis=1), np.concatenate(list(real), axis=1)],
+            axis=0,
+        )
+        out = os.path.join(self.tag_dir, f"preview_{it:08d}.png")
+        Image.fromarray((grid * 255).astype(np.uint8)).save(out)
+        captions = [
+            str(c) for c in host_batch.get("captions", [])
+        ] or ["<tokenized>"] * b
+        with open(os.path.join(self.tag_dir, "captions.txt"), "a") as f:
+            f.write(f"iter {it}: " + " | ".join(captions) + "\n")
 
     def model_params(self, state: Optional[TrainState] = None) -> Dict[str, Any]:
         """Full UNet params with current trainable values merged in."""

@@ -63,7 +63,8 @@ def test_trainer_runs_and_resumes(tmp_path):
     run = TrainerConfig(
         name="tiny", output_root=str(tmp_path), batch_size=1,
         warmup_steps=2, total_iters=1000, save_every_iters=3,
-        log_every_iters=1, dtype="float32", preview_samples=False,
+        log_every_iters=1, dtype="float32",
+        preview_samples=True, preview_steps=2,
     )
     tr = Trainer(_model_config(), run)
     assert tr.global_batch == 8
@@ -77,6 +78,8 @@ def test_trainer_runs_and_resumes(tmp_path):
 
     ckpts = [f for f in os.listdir(tr.tag_dir) if f.startswith("checkpoint_0")]
     assert ckpts, os.listdir(tr.tag_dir)
+    previews = [f for f in os.listdir(tr.tag_dir) if f.startswith("preview_")]
+    assert previews, os.listdir(tr.tag_dir)
 
     # fresh trainer resumes from the saved step (step = completed updates)
     tr2 = Trainer(_model_config(), run)
