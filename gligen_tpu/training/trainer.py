@@ -236,6 +236,21 @@ class Trainer:
         loader = self.batches(dataset)
         total = min(run.total_iters, max_iters or run.total_iters)
 
+        # Preemption handling (absent in the reference, SURVEY §5): a
+        # SIGTERM checkpoints at the next step boundary and exits cleanly,
+        # so the tagXX auto-resume continues from the exact step.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # non-main thread (tests)
+            prev_handler = None
+
         state = replicate(self.mesh, self.state)
         frozen = replicate(self.mesh, self.frozen)
         aux = replicate(self.mesh, self.aux_params)
@@ -266,6 +281,15 @@ class Trainer:
                     self._save(state)
                     if run.preview_samples:
                         self.save_preview(state, host_batch, it)
+                if preempted["flag"]:
+                    if is_process_zero():
+                        self._save(state)
+                        self._log({"iter": it, "event": "preempted, checkpointed"})
+                    break
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         self.state = jax.device_get(state)
         return self.state
 
