@@ -73,8 +73,12 @@ class FeatureExtractor:
         return np.asarray(pooled[0])
 
     def image_feature(self, path: str) -> np.ndarray:
-        import jax.numpy as jnp
         from PIL import Image
+
+        return self.image_feature_from_pil(Image.open(path).convert("RGB"))
+
+    def image_feature_from_pil(self, pil_image) -> np.ndarray:
+        import jax.numpy as jnp
 
         from gligen_tpu.models.clip_vision import CLIPVisionModel, clip_preprocess
 
@@ -82,10 +86,12 @@ class FeatureExtractor:
         assert self.projection_matrix is not None, "image grounding needs projection_matrix"
         if self._vision is None:
             self._vision = CLIPVisionModel()
-        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        img = np.asarray(pil_image, np.float32)
         pixels = clip_preprocess(jnp.asarray(img)[None])
         embeds, _ = self._vision.apply({"params": self.vision_params}, pixels)
-        feat = np.asarray(embeds[0]) @ self.projection_matrix  # project(x, P.T)
+        # reproject into text-penultimate space, renorm to 28.7
+        # (gligen_inference.py:113-116: project(feature, P.T) == feature @ P)
+        feat = np.asarray(embeds[0]) @ self.projection_matrix
         return feat / np.linalg.norm(feat) * 28.7
 
 
@@ -237,9 +243,16 @@ def run(meta: Dict[str, Any], args) -> List[str]:
         from gligen_tpu.data.box_dataset import _load_projection_matrix
 
         projection = _load_projection_matrix(args.projection_matrix)
-    features = FeatureExtractor(pipe, vision_params=None, projection_matrix=projection)
-    if meta.get("images") and args.clip_vision_ckpt:
-        raise NotImplementedError("external CLIP vision weights loading: use converter")
+    vision_params = None
+    if args.clip_vision_ckpt and os.path.exists(args.clip_vision_ckpt):
+        import torch
+
+        from gligen_tpu.convert.torch_to_jax import convert_clip_vision
+
+        state = torch.load(args.clip_vision_ckpt, map_location="cpu", weights_only=False)
+        state = state.get("state_dict", state)
+        vision_params = convert_clip_vision(state)
+    features = FeatureExtractor(pipe, vision_params=vision_params, projection_matrix=projection)
 
     batch = args.batch_size
     grounding, grounding_extra = prepare_batch_for(meta, batch, features)
