@@ -174,10 +174,12 @@ def prepare_batch_sem(meta, batch: int, num_classes: int = 152):
 
 
 def prepare_batch_for(meta, batch: int, features: FeatureExtractor):
-    """Modality dispatch on ckpt name substring (gligen_inference.py:361-376)."""
+    """Modality dispatch on ckpt name substring (gligen_inference.py:361-376).
+    Returns the RAW batch dict; the modality input adapter maps it to the
+    grounding tokenizer's kwargs (grounding_input/*)."""
     ckpt = meta["ckpt"]
     if "keypoint" in ckpt:
-        return prepare_batch_kp(meta, batch), None
+        return prepare_batch_kp(meta, batch)
     for mod, key, img_key in (
         ("hed", "hed_edge", "hed_image"),
         ("canny", "canny_edge", "canny_image"),
@@ -185,12 +187,10 @@ def prepare_batch_for(meta, batch: int, features: FeatureExtractor):
         ("normal", "normal", "normal_image"),
     ):
         if mod in ckpt:
-            b = prepare_batch_spatial(meta, batch, key, img_key)
-            return b, b[key]
+            return prepare_batch_spatial(meta, batch, key, img_key)
     if "sem" in ckpt:
-        b = prepare_batch_sem(meta, batch)
-        return b, b["sem"]
-    return prepare_batch_box(meta, batch, features), None
+        return prepare_batch_sem(meta, batch)
+    return prepare_batch_box(meta, batch, features)
 
 
 # -------------------------------------------------------------------- run
@@ -255,7 +255,20 @@ def run(meta: Dict[str, Any], args) -> List[str]:
     features = FeatureExtractor(pipe, vision_params=vision_params, projection_matrix=projection)
 
     batch = args.batch_size
-    grounding, grounding_extra = prepare_batch_for(meta, batch, features)
+    raw = prepare_batch_for(meta, batch, features)
+    from gligen_tpu.inference.adapters import get_adapter
+
+    tok_target = (pipe.c.unet.grounding_tokenizer or {"target": "text"})["target"]
+    modality = next(
+        (m for m in ("text_image", "keypoint", "hed", "canny", "depth", "normal", "sem")
+         if m in tok_target),
+        "text",
+    )
+    adapter = get_adapter(modality)
+    grounding = adapter.prepare(raw)
+    grounding_extra = (
+        adapter.prepare_extra(raw) if pipe.c.unet.grounding_downsampler else None
+    )
 
     ids = pipe.tokenizer([meta["prompt"]] * batch)
     uc_ids = pipe.tokenizer([args.negative_prompt or ""] * batch)

@@ -192,15 +192,32 @@ class Trainer:
         catalog = dataset_catalog(self.run.data_root)
         return ConCatDataset.from_catalog(names, catalog)
 
-    def batches(self, dataset) -> Iterator[Dict[str, Any]]:
-        """Infinite epoch-shuffled host batches (trainer.py:103-106)."""
-        rng = np.random.default_rng(self.run.seed)
-        bs = self.global_batch
+    def batches(self, dataset, prefetch: int = 2) -> Iterator[Dict[str, Any]]:
+        """Infinite epoch-shuffled host batches (trainer.py:103-106), with a
+        background prefetch thread so host-side decode/collate overlaps the
+        device step (the reference relies on DataLoader workers for this)."""
+        import queue
+        import threading
+
+        def produce():
+            rng = np.random.default_rng(self.run.seed)
+            bs = self.global_batch
+            while True:
+                order = rng.permutation(len(dataset))
+                for i in range(0, len(order) - bs + 1, bs):
+                    items = [dataset[int(j)] for j in order[i : i + bs]]
+                    yield self.collate(items)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        src = produce()
+
+        def worker():
+            for batch in src:
+                q.put(batch)
+
+        threading.Thread(target=worker, daemon=True).start()
         while True:
-            order = rng.permutation(len(dataset))
-            for i in range(0, len(order) - bs + 1, bs):
-                items = [dataset[int(j)] for j in order[i : i + bs]]
-                yield self.collate(items)
+            yield q.get()
 
     def collate(self, items) -> Dict[str, Any]:
         captions = [it["caption"] for it in items]
