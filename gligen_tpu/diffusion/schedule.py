@@ -55,6 +55,12 @@ def make_ddim_timesteps(
 ) -> np.ndarray:
     """Subset of DDPM timesteps used by DDIM/PLMS, +1 shifted (util.py:55-69)."""
     if method == "uniform":
+        # non-divisors produce an extra step whose +1 index overflows the
+        # alpha table (latent bug in the reference, util.py:64's
+        # commented-out assert; its shipped step counts 50/250 divide 1000)
+        assert num_ddpm_timesteps % num_ddim_timesteps == 0, (
+            f"steps={num_ddim_timesteps} must divide T={num_ddpm_timesteps}"
+        )
         c = num_ddpm_timesteps // num_ddim_timesteps
         steps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
     elif method == "quad":

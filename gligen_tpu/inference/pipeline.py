@@ -235,15 +235,25 @@ class GenerationPipeline:
                 x0 = z0
                 inpaint_extra = jnp.concatenate([z0 * mask, mask], axis=-1)
 
+            # Grounding tokens + downsampler features are loop-invariant:
+            # compute them ONCE here (incl. the CFG null pair), outside the
+            # denoise scan — the reference recomputes the position net
+            # (ConvNeXt for spatial modes) on every one of its ~101 calls.
+            dummy_x = jnp.zeros((b, latent_size, latent_size, 4))
+            dummy_t = jnp.zeros((b,), jnp.int32)
+            tokens = lambda g: c.unet.apply(
+                {"params": params["model"]}, dummy_x, dummy_t, context, g,
+                grounding_extra=g_extra, tokens_only=True,
+            )
+            objs_c, ds_feat = tokens(grounding)
+            objs_u, _ = tokens({k: jnp.zeros_like(v) for k, v in grounding.items()})
+
             # CFG pair batched into one 2B UNet call (plms.py:116-122 done
             # as data parallel within the batch rather than two dispatches).
             if use_cfg:
                 ctx2 = jnp.concatenate([context, uc], axis=0)
-                g2 = {
-                    k: jnp.concatenate([v, jnp.zeros_like(v)], axis=0)
-                    for k, v in grounding.items()
-                }
-                ge2 = jnp.concatenate([g_extra, g_extra], axis=0) if has_extra else None
+                objs2 = jnp.concatenate([objs_c, objs_u], axis=0)
+                ds2 = jnp.concatenate([ds_feat, ds_feat], axis=0) if has_extra else None
                 ie2 = (
                     jnp.concatenate([inpaint_extra, inpaint_extra], axis=0)
                     if has_inpaint else None
@@ -253,9 +263,10 @@ class GenerationPipeline:
                     x2 = jnp.concatenate([x, x], axis=0)
                     t2 = jnp.concatenate([t, t], axis=0)
                     e = c.unet.apply(
-                        {"params": params["model"]}, x2, t2, ctx2, g2,
+                        {"params": params["model"]}, x2, t2, ctx2,
                         gate_scale=gate, use_sd_conv=use_sd,
-                        grounding_extra=ge2, inpainting_extra=ie2,
+                        objs=objs2, grounding_extra_features=ds2,
+                        inpainting_extra=ie2,
                     )
                     e_c, e_u = jnp.split(e, 2, axis=0)
                     return e_u + scale * (e_c - e_u)
@@ -263,9 +274,10 @@ class GenerationPipeline:
 
                 def eps_fn(x, t, gate, use_sd):
                     return c.unet.apply(
-                        {"params": params["model"]}, x, t, context, grounding,
+                        {"params": params["model"]}, x, t, context,
                         gate_scale=gate, use_sd_conv=use_sd,
-                        grounding_extra=g_extra, inpainting_extra=inpaint_extra,
+                        objs=objs_c, grounding_extra_features=ds_feat,
+                        inpainting_extra=inpaint_extra,
                     )
 
             if has_noise:

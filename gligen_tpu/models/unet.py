@@ -172,19 +172,28 @@ class UNetModel(nn.Module):
         x: jax.Array,
         timesteps: jax.Array,
         context: jax.Array,
-        grounding: Dict[str, jax.Array],
+        grounding: Optional[Dict[str, jax.Array]] = None,
         *,
         gate_scale: jax.Array | float = 1.0,
         use_sd_conv: jax.Array | bool = False,
         grounding_extra: Optional[jax.Array] = None,
         inpainting_extra: Optional[jax.Array] = None,
+        objs: Optional[jax.Array] = None,
+        grounding_extra_features: Optional[jax.Array] = None,
+        tokens_only: bool = False,
     ) -> jax.Array:
+        """Grounding tokens (``objs``) and downsampler features are pure
+        functions of the grounding inputs — loop-invariant across the
+        denoise scan.  Callers may precompute them (``tokens_only=True``
+        returns (objs, ds_features)) and pass them back, hoisting the
+        position net / ConvNeXt out of the 50-step loop."""
         assert self.fuser_type in ("gatedSA", "gatedSA2", "gatedCA")
-        tok_cfg = self.grounding_tokenizer or {"target": "text", "params": {}}
-        position_net = GROUNDING_NETS.get(tok_cfg["target"])(
-            **tok_cfg.get("params", {}), name="position_net", dtype=self.dtype
-        )
-        objs = position_net(**grounding)
+        if objs is None:
+            tok_cfg = self.grounding_tokenizer or {"target": "text", "params": {}}
+            position_net = GROUNDING_NETS.get(tok_cfg["target"])(
+                **tok_cfg.get("params", {}), name="position_net", dtype=self.dtype
+            )
+            objs = position_net(**grounding)
 
         t_emb = timestep_embedding(timesteps, self.model_channels)
         emb = nn.Dense(
@@ -195,11 +204,9 @@ class UNetModel(nn.Module):
             self.model_channels * 4, name="time_embed_2", dtype=self.dtype, param_dtype=jnp.float32
         )(emb)
 
-        # ---- first conv: GLIGEN (possibly widened) vs restorable SD ----
-        h = x.astype(self.dtype)
-        extra_ch = 0
-        gligen_in = [h]
-        if self.grounding_downsampler is not None:
+        # ---- downsampler features (loop-invariant, hoistable) ----
+        ds_out = grounding_extra_features
+        if self.grounding_downsampler is not None and ds_out is None:
             ds_net = DOWNSAMPLERS.get(self.grounding_downsampler["target"])(
                 **self.grounding_downsampler.get("params", {}),
                 name="downsample_net",
@@ -207,6 +214,14 @@ class UNetModel(nn.Module):
             )
             assert grounding_extra is not None
             ds_out = ds_net(grounding_extra)
+        if tokens_only:
+            return objs, ds_out
+
+        # ---- first conv: GLIGEN (possibly widened) vs restorable SD ----
+        h = x.astype(self.dtype)
+        extra_ch = 0
+        gligen_in = [h]
+        if self.grounding_downsampler is not None:
             extra_ch += ds_out.shape[-1]
             gligen_in.append(ds_out.astype(self.dtype))
         if self.inpaint_mode:
