@@ -45,6 +45,20 @@ def _components():
         )["params"],
         "text_encoder": jax.jit(text.init)(rng, jnp.zeros((1, 77), jnp.int32))["params"],
     }
+    # de-zero the zero_module layers and fuser gates so outputs respond to
+    # conditioning (a fresh init is all-zeros eps by reference design)
+    import flax.traverse_util as traverse
+
+    flat = traverse.flatten_dict(params["model"])
+    k = jax.random.PRNGKey(5)
+    for path, val in flat.items():
+        if path[-1] in ("alpha_attn", "alpha_dense"):
+            flat[path] = jnp.full_like(val, 0.5)
+        elif path[-1] == "kernel" and not jnp.any(val):
+            k, sub = jax.random.split(k)
+            flat[path] = jax.random.normal(sub, val.shape) * 0.05
+    params["model"] = traverse.unflatten_dict(flat)
+
     schedule = DiffusionSchedule.create(timesteps=1000, linear_start=0.00085, linear_end=0.012)
     return GligenComponents(unet, vae, text, schedule, params)
 
