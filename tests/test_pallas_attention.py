@@ -69,3 +69,39 @@ def test_mha_dispatch_flag():
     finally:
         A.set_attention_impl(prev)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(xla), atol=1e-6)
+
+
+def test_flash_gradients_match_xla():
+    """Custom-VJP backward kernels vs autodiff through the einsum path."""
+    b, h, n, m, c = 2, 2, 128, 160, 32
+    q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
+
+    def loss_flash(q, k, v):
+        out = mha_flash(q, k, v, h, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_xla(q, k, v):
+        out = multi_head_attention(q, k, v, h, implementation="xla")
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_flash_gradients_with_mask():
+    b, h, n, m, c = 1, 2, 64, 77, 16
+    q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
+    mask = np.zeros((b, m), bool)
+    mask[0, :40] = True
+    mj = jnp.asarray(mask)
+
+    f = lambda q, k, v: jnp.sum(mha_flash(q, k, v, h, key_mask=mj, interpret=True) ** 2)
+    g = lambda q, k, v: jnp.sum(
+        multi_head_attention(q, k, v, h, key_mask=mj, implementation="xla") ** 2
+    )
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
