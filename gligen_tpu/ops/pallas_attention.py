@@ -71,7 +71,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
 
     jax.lax.fori_loop(0, pl.cdiv(kv_len, block_kv), body, 0)
     o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-    lse_ref[0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+    lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
@@ -104,11 +104,11 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, n_pad, d_pad), qp.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -127,8 +127,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq
     """dq[i] = scale * sum_j P_ij (dout_i . v_j - delta_i) k_j."""
     q = q_ref[0].astype(jnp.float32) * scale
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :]
-    delta = delta_ref[0, :]
+    lse = lse_ref[0, 0, :]
+    delta = delta_ref[0, 0, :]
     acc = jnp.zeros(dq_ref.shape[1:], jnp.float32)
 
     def body(i, acc):
@@ -161,8 +161,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         start = i * block_q
         q = q_ref[0, pl.ds(start, block_q), :].astype(jnp.float32) * scale
         do = do_ref[0, pl.ds(start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(start, block_q)]
-        delta = delta_ref[0, pl.ds(start, block_q)]
+        lse = lse_ref[0, 0, pl.ds(start, block_q)]
+        delta = delta_ref[0, 0, pl.ds(start, block_q)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if bias is not None:
             s = s + bias
@@ -197,7 +197,7 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     m_pad = kp.shape[1]
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # (BH, N)
+    )[:, None, :]  # (BH, 1, N)
 
     common_in = [qp, kp, vp]
     q_specs = [
@@ -233,8 +233,8 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         grid=(bh, n_pad // block_q),
         in_specs=q_specs + bias_spec + [
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -263,8 +263,8 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         grid=(bh, m_pad // block_kv),
         in_specs=kv_specs + dkv_bias_spec + [
             pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
