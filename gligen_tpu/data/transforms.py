@@ -9,7 +9,7 @@ HWC float32 in [-1, 1] (the device pipeline is NHWC end to end).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,6 @@ the offline utility used to manage the multi-million-row grounding TSVs.
 from __future__ import annotations
 
 import argparse
-import os
 import os.path as op
 from typing import List
 

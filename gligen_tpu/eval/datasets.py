@@ -19,7 +19,6 @@ from PIL import Image
 from gligen_tpu.data.transforms import (
     recalculate_box_and_verify_if_valid,
     transform_image,
-    xyhw2xyxy,
 )
 
 

@@ -10,7 +10,7 @@ adapter's get_null_input constructs — so ``null_input`` is generic.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

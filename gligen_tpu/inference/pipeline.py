@@ -14,15 +14,13 @@ collectives (there are none at inference: embarrassingly parallel).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from gligen_tpu.diffusion.samplers import ddim_sample, plms_sample
 from gligen_tpu.diffusion.schedule import DiffusionSchedule
-from gligen_tpu.inference.adapters import null_input
 from gligen_tpu.models.clip_text import CLIPTextModel
 from gligen_tpu.models.unet import UNetModel
 from gligen_tpu.models.vae import AutoencoderKL

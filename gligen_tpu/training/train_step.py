@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import optax
 
 from gligen_tpu.diffusion.schedule import DiffusionSchedule
-from gligen_tpu.inference.adapters import null_input
 
 
 # ---------------------------------------------------------------- masks
@@ -216,8 +215,6 @@ def make_train_step(
 
 def dryrun_train_step(n_devices: int) -> None:
     """Tiny-config full train step jitted over an n-device ('data',) mesh."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from gligen_tpu.models.clip_text import CLIPTextModel
     from gligen_tpu.models.unet import UNetModel
     from gligen_tpu.models.vae import AutoencoderKL
