@@ -164,6 +164,15 @@ def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                from gligen_tpu.serving.demo_page import PAGE
+
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 

@@ -105,3 +105,17 @@ def test_http_generate_roundtrip():
             assert json.load(r)["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_demo_page_served():
+    session = _session()
+    server = make_server(session, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            html = r.read().decode()
+        assert "grounded generation" in html and "canvas" in html
+    finally:
+        server.shutdown()
