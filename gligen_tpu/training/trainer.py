@@ -152,6 +152,16 @@ class Trainer:
         )
         self._jitted = jax.jit(self._train_step, donate_argnums=(0,))
         self._metrics_path = os.path.join(self.tag_dir, "metrics.jsonl")
+        # rank-0 TensorBoard scalars (trainer.py:151,394-396,407-409);
+        # optional — metrics.jsonl is the primary record.
+        self._tb = None
+        if is_process_zero():
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.tag_dir, "tb"))
+            except Exception:
+                self._tb = None
 
     # -------------------------------------------------------------- setup
     def _init_params(self, rng) -> Dict[str, Any]:
@@ -313,6 +323,8 @@ class Trainer:
     def _log(self, rec: Dict[str, Any]):
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None and "loss" in rec:
+            self._tb.add_scalar("loss", rec["loss"], rec["iter"])
         print(rec)
 
     def _save(self, state: TrainState):
