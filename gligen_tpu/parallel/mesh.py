@@ -47,8 +47,15 @@ def make_mesh(
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     """Place a host pytree with its leading (batch) dim sharded over ``axis``."""
+    n = int(np.prod([mesh.shape[a] for a in (axis,) if a in mesh.shape]) or 1)
+
     def put(x):
         x = np.asarray(x)
+        if x.ndim and x.shape[0] % n != 0:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by mesh axis "
+                f"{axis!r} size {n}"
+            )
         spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
