@@ -24,6 +24,12 @@ Design notes:
 This one kernel covers self-attention, cross-attention, the concatenated
 visual+grounding gated self-attention (queries = visual slice only), and
 the VAE's single-head spatial attention.
+
+Capacity note: each program holds the FULL padded K and V in VMEM
+(double-buffered: 4*M_pad*128 bytes bf16), which is the right trade for
+this model family's sequence lengths (<= ~16k tokens at 1024^2 latents,
+~8 MB).  Beyond ~24k tokens, switch the K/V BlockSpecs to per-KV-block
+streaming (grid axis) before raising sequence length.
 """
 
 from __future__ import annotations

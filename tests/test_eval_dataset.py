@@ -61,3 +61,16 @@ def test_evaluator_writes_folders_and_fid(tmp_path):
 
 def test_ckpt_to_folder_name():
     assert ckpt_to_folder_name("checkpoint_00450001.pth") == "tag000450001"
+
+
+def test_create_meta_from_dataset(tmp_path):
+    from gligen_tpu.eval.create_meta import metas_from_dataset
+
+    img_root, inst, caps = _write_coco(tmp_path)
+    ds = COCOEvalDataset(img_root, inst, caps, image_size=64)
+    metas = metas_from_dataset(ds, ckpt="x.pth", max_items=2)
+    assert len(metas) == 2
+    m = metas[0]
+    assert m["prompt"] == "scene 0"
+    assert len(m["locations"]) == 1 and len(m["locations"][0]) == 4
+    assert all(0 <= v <= 1 for v in m["locations"][0])
