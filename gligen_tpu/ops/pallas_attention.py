@@ -1,22 +1,26 @@
 """Fused flash attention Pallas kernels — the flagship TPU kernels.
 
 Why: the UNet's attention sites run at up to 4096 visual (+grounding)
-tokens.  The XLA einsum path (reference semantics,
-ldm/modules/attention.py:142-148) materializes (B,H,N,M) fp32 score
-tensors in HBM — at 4096x4126 x 8 heads x batch 16 that is the measured
-bottleneck (bench: 0.20 -> 0.60 img/s end-to-end from this kernel).
-Softmax is computed online in VMEM: one pass over KV blocks per Q block,
-fp32 running max/denominator, no score tensor ever leaving VMEM.
+tokens at 512^2 output (16384 at 1024^2).  The XLA einsum path
+(reference semantics, ldm/modules/attention.py:142-148) materializes
+(B,H,N,M) fp32 score tensors in HBM — the measured bottleneck
+(bench: 0.20 -> 0.60 img/s end-to-end from this kernel).  Softmax is
+computed online in VMEM; no score tensor ever leaves the chip.
 
 Design notes:
   * Layout (B*H, N, D): batch and heads fold into the grid's first axis;
     D (40/80/160/512 in SD's towers) is zero-padded to the 128-lane width
     in the wrapper — padding contributes zero to scores and is sliced off
     the output, so results are exact.
+  * KV is STREAMED: grid (BH, N/block_q, M/block_kv) with the KV axis
+    innermost ('arbitrary' semantics); running max/denominator/accumulator
+    live in VMEM scratch across KV steps and the output/LSE rows are
+    written on the last KV step.  VMEM footprint is O(block sizes), so
+    sequence length is bounded by HBM, not VMEM.
   * Forward also emits per-row log-sum-exp; a custom VJP recomputes
-    probabilities blockwise in the backward kernels (one grid over Q
-    blocks for dQ, one over KV blocks for dK/dV) — standard flash
-    backward, so the same kernel serves training.
+    probabilities blockwise in the backward kernels (dQ streams KV the
+    same way; dK/dV streams Q) — standard flash backward, so the same
+    kernels serve training.
   * Optional additive bias row per (batch,head) supports key-padding
     masks (CrossAttention.fill_inf_from_mask, attention.py:118-124).
   * Softmax/accumulation in fp32 regardless of input dtype.
@@ -24,12 +28,6 @@ Design notes:
 This one kernel covers self-attention, cross-attention, the concatenated
 visual+grounding gated self-attention (queries = visual slice only), and
 the VAE's single-head spatial attention.
-
-Capacity note: each program holds the FULL padded K and V in VMEM
-(double-buffered: 4*M_pad*128 bytes bf16), which is the right trade for
-this model family's sequence lengths (<= ~16k tokens at 1024^2 latents,
-~8 MB).  Beyond ~24k tokens, switch the K/V BlockSpecs to per-KV-block
-streaming (grid axis) before raising sequence length.
 """
 
 from __future__ import annotations
@@ -44,72 +42,79 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary")
+)
+
 
 # ------------------------------------------------------------ forward
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale, block_kv, kv_len):
+                *, scale):
+    """One (bh, q_block, kv_block) step; scratch carries the online
+    softmax state across the (sequential, innermost) KV axis."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    k = k_ref[0].astype(jnp.float32)          # (BKV, D)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0, :][None, :]
 
-    def body(i, _):
-        start = i * block_kv
-        k = k_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if bias_ref is not None:
-            s = s + bias_ref[0, 0, pl.ds(start, block_kv)][None, :]
-        m_prev = m_ref[:, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_ref[:, 0] = m_new
-        return 0
+    m_prev = m_ref[:, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    p = jnp.exp(s - m_new[:, None])
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:, 0] = m_new
 
-    jax.lax.fori_loop(0, pl.cdiv(kv_len, block_kv), body, 0)
-    o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
     in_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
     ]
     args = [qp, kp, vp]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = functools.partial(
-            _fwd_kernel, scale=scale, block_kv=block_kv, kv_len=m_pad
-        )
+        kernel = functools.partial(_fwd_kernel, scale=scale)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, lse, mm, ll, aa, **kw: _fwd_kernel(
                 qr, kr, vr, None, o, lse, mm, ll, aa, **kw
             ),
-            scale=scale, block_kv=block_kv, kv_len=m_pad,
+            scale=scale,
         )
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bh, n_pad // block_q),
+        grid=(bh, n_pad // block_q, m_pad // block_kv),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, n_pad, d_pad), qp.dtype),
@@ -120,6 +125,7 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d_pad), jnp.float32),
         ],
+        compiler_params=_SEMANTICS,
         interpret=interpret,
     )(*args)
     return out, lse
@@ -128,59 +134,69 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
 # ------------------------------------------------------------ backward
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale, block_kv, kv_len):
-    """dq[i] = scale * sum_j P_ij (dout_i . v_j - delta_i) k_j."""
+                   acc_ref, *, scale):
+    """dq[i] = scale * sum_j P_ij (dout_i . v_j - delta_i) k_j; KV streamed."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :]
     delta = delta_ref[0, 0, :]
-    acc = jnp.zeros(dq_ref.shape[1:], jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0, :][None, :]
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, acc):
-        start = i * block_kv
-        k = k_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(start, block_kv), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + bias_ref[0, 0, pl.ds(start, block_kv)][None, :]
-        p = jnp.exp(s - lse[:, None])
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, pl.cdiv(kv_len, block_kv), body, acc)
-    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, q_len):
-    """dv[j] = sum_i P_ij dout_i ; dk[j] = sum_i dS_ij (scale * q_i)."""
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    """dv[j] = sum_i P_ij dout_i ; dk[j] = sum_i dS_ij (scale * q_i);
+    Q streamed along the innermost grid axis."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0, 0, :][None, :] if bias_ref is not None else None
-    dk = jnp.zeros(dk_ref.shape[1:], jnp.float32)
-    dv = jnp.zeros(dv_ref.shape[1:], jnp.float32)
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :]
+    delta = delta_ref[0, 0, :]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0, :][None, :]
+    p = jnp.exp(s - lse[:, None])  # (BQ, BKV)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, carry):
-        dk, dv = carry
-        start = i * block_q
-        q = q_ref[0, pl.ds(start, block_q), :].astype(jnp.float32) * scale
-        do = do_ref[0, pl.ds(start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(start, block_q)]
-        delta = delta_ref[0, 0, pl.ds(start, block_q)]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if bias is not None:
-            s = s + bias
-        p = jnp.exp(s - lse[:, None])  # (BQ, BKV)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return dk, dv
-
-    dk, dv = jax.lax.fori_loop(0, pl.cdiv(q_len, block_q), body, (dk, dv))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 # ------------------------------------------------------- custom-vjp core
@@ -204,85 +220,91 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # (BH, 1, N)
 
-    common_in = [qp, kp, vp]
-    q_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    kv_specs = [
-        pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-    ]
-    bias_args, bias_spec = [], []
-    if bias is not None:
-        bias_args = [bias]
-        bias_spec = [
-            pl.BlockSpec((1, 1, m_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-        ]
+    has_bias = bias is not None
+    bias_args = [bias] if has_bias else []
 
+    # ---- dQ: grid (bh, q_blocks, kv_blocks), KV innermost ----
     def dq_kernel_wrap(*refs):
-        if bias is not None:
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r = refs
+        if has_bias:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r, acc = refs
         else:
-            q_r, k_r, v_r, do_r, lse_r, dl_r, dq_r = refs
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dq_r, acc = refs
             b_r = None
-        _bwd_dq_kernel(
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r,
-            scale=scale, block_kv=block_kv, kv_len=m_pad,
-        )
+        _bwd_dq_kernel(q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r, acc, scale=scale)
 
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM)
+        )
+    dq_in_specs += [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+    ]
     dq = pl.pallas_call(
         dq_kernel_wrap,
-        grid=(bh, n_pad // block_q),
-        in_specs=q_specs + bias_spec + [
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-        ],
+        grid=(bh, n_pad // block_q, m_pad // block_kv),
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
-            (1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(*common_in, *bias_args, do, lse, delta)
+    )(qp, kp, vp, *bias_args, do, lse, delta)
 
+    # ---- dK/dV: grid (bh, kv_blocks, q_blocks), Q innermost ----
     def dkv_kernel_wrap(*refs):
-        if bias is not None:
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r = refs
+        if has_bias:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva = refs
         else:
-            q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r = refs
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva = refs
             b_r = None
         _bwd_dkv_kernel(
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r,
-            scale=scale, block_q=block_q, q_len=n_pad,
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva, scale=scale
         )
 
-    dkv_bias_spec = (
-        [pl.BlockSpec((1, 1, block_kv), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM)]
-        if bias is not None else []
-    )
+    dkv_in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM)
+        )
+    dkv_in_specs += [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+    ]
     dk, dv = pl.pallas_call(
         dkv_kernel_wrap,
-        grid=(bh, m_pad // block_kv),
-        in_specs=kv_specs + dkv_bias_spec + [
-            pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid=(bh, m_pad // block_kv, n_pad // block_q),
+        in_specs=dkv_in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(kp.shape, kp.dtype),
             jax.ShapeDtypeStruct(vp.shape, vp.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+        ],
+        compiler_params=_SEMANTICS,
         interpret=interpret,
-    )(*common_in, *bias_args, do, lse, delta)
+    )(qp, kp, vp, *bias_args, do, lse, delta)
 
-    dbias = jnp.zeros_like(bias) if bias is not None else None
+    dbias = jnp.zeros_like(bias) if has_bias else None
     return dq, dk, dv, dbias
 
 
