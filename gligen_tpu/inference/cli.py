@@ -199,6 +199,10 @@ def build_pipeline(ckpt: str, args) -> "Any":
     import jax
     import jax.numpy as jnp
 
+    from gligen_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gligen_tpu.data.tokenizer import load_tokenizer
     from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
     from gligen_tpu.training import checkpoints as ckpt_io

@@ -72,6 +72,9 @@ class TrainerConfig:
 
 class Trainer:
     def __init__(self, model_config: Dict[str, Any], run: TrainerConfig):
+        from gligen_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.run = run
         self.model_config = model_config
         dtype = jnp.bfloat16 if run.dtype == "bfloat16" else jnp.float32
