@@ -248,8 +248,12 @@ class BasicTransformerBlock(nn.Module):
         x = SelfAttention(self.heads, self.dim_head, name="attn1", dtype=self.dtype)(
             LayerNorm(name="norm1")(x)
         ) + x
+        # Reference parity: set_alpha_scale only targets gatedSA/gatedCA
+        # (gligen_inference.py:24-28 type check) — gatedSA2 never receives
+        # the alpha schedule and keeps its constructor scale of 1.
+        fuser_gate = 1.0 if self.fuser_type == "gatedSA2" else gate_scale
         x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
-            x, objs, gate_scale
+            x, objs, fuser_gate
         )
         x = CrossAttention(self.heads, self.dim_head, name="attn2", dtype=self.dtype)(
             LayerNorm(name="norm2")(x), context, context
