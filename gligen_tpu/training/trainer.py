@@ -437,9 +437,20 @@ def _merge_loaded(current: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, 
         cur = traverse.flatten_dict(current[key])
         if key in loaded:
             for path, val in traverse.flatten_dict(loaded[key]).items():
-                if path in cur:
-                    assert cur[path].shape == np.asarray(val).shape, (key, path)
-                    cur[path] = jnp.asarray(val)
+                if path not in cur:
+                    continue
+                val = np.asarray(val)
+                if cur[path].shape != val.shape:
+                    # widened first conv: zero-extend the checkpoint's input
+                    # channels (convert_ckpt.py add_additional_channels,
+                    # trainer.py:189-194)
+                    assert path[:-1] == ("input_blocks_0_0",) and path[-1] == "kernel", (
+                        key, path, cur[path].shape, val.shape,
+                    )
+                    widened = np.zeros(cur[path].shape, val.dtype)
+                    widened[:, :, : val.shape[2], :] = val
+                    val = widened
+                cur[path] = jnp.asarray(val)
         out[key] = traverse.unflatten_dict(cur)
     return out
 

@@ -162,3 +162,23 @@ def test_loss_decreases_on_fixed_batch():
     assert losses[-1] < losses[1] - 5e-3, losses
     tail = losses[2:]
     assert all(b < a for a, b in zip(tail, tail[1:])), losses
+
+
+def test_merge_loaded_widens_first_conv():
+    """Loading the 4-ch official SD conv into a widened (inpaint/downsampler)
+    model zero-extends the new input channels (convert_ckpt.py semantics)."""
+    import numpy as np
+
+    from gligen_tpu.training.trainer import _merge_loaded
+
+    current = {"model": {"input_blocks_0_0": {
+        "kernel": np.ones((3, 3, 9, 8), np.float32),
+        "bias": np.ones(8, np.float32),
+    }}}
+    loaded = {"model": {"input_blocks_0_0": {
+        "kernel": np.full((3, 3, 4, 8), 2.0, np.float32),
+        "bias": np.full(8, 3.0, np.float32),
+    }}}
+    out = np.asarray(_merge_loaded(current, loaded)["model"]["input_blocks_0_0"]["kernel"])
+    assert out.shape == (3, 3, 9, 8)
+    assert (out[:, :, :4] == 2.0).all() and (out[:, :, 4:] == 0.0).all()
