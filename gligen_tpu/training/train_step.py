@@ -42,7 +42,9 @@ def trainable_mask(params: Dict[str, Any], input_conv_train: bool = False) -> Di
             ("transformer_blocks" in joined and "fuser" in joined)
             or "position_net" in joined
             or "downsample_net" in joined
-            or (input_conv_train and joined.startswith("input_blocks_0_0/"))
+            # weight only — the reference leaves the conv bias frozen
+            # (trainer.py:233 matches "input_blocks.0.0.weight")
+            or (input_conv_train and joined == "input_blocks_0_0/kernel")
         )
         out[path] = trainable
     return traverse.unflatten_dict(out)

@@ -364,6 +364,20 @@ class Trainer:
         grounding = jax.tree.map(jnp.asarray, host_batch["grounding"])
         null_g = jax.tree.map(jnp.zeros_like, grounding)
         scale = self.run.preview_guidance
+        extra = host_batch.get("grounding_extra")
+        extra2 = (
+            jnp.concatenate([jnp.asarray(extra)] * 2) if extra is not None else None
+        )
+        inpaint2 = None
+        if "inpainting_mask" in host_batch:
+            # preview uses the batch's own latents for the masked-z channels
+            m = jnp.asarray(host_batch["inpainting_mask"], jnp.float32)
+            z_img = self.vae.apply(
+                {"params": self.aux_params["autoencoder"]},
+                jnp.asarray(host_batch["image"]), jax.random.fold_in(key, 1),
+                method=self.vae.encode,
+            )
+            inpaint2 = jnp.concatenate([jnp.concatenate([z_img * m, m], axis=-1)] * 2)
 
         def eps_fn(x, t, gate, use_sd):
             x2 = jnp.concatenate([x, x])
@@ -371,7 +385,8 @@ class Trainer:
             ctx2 = jnp.concatenate([context, uc])
             g2 = jax.tree.map(lambda a, z: jnp.concatenate([a, z]), grounding, null_g)
             e = self.unet.apply(
-                params, x2, t2, ctx2, g2, gate_scale=gate, use_sd_conv=use_sd
+                params, x2, t2, ctx2, g2, gate_scale=gate, use_sd_conv=use_sd,
+                grounding_extra=extra2, inpainting_extra=inpaint2,
             )
             e_c, e_u = jnp.split(e, 2)
             return e_u + scale * (e_c - e_u)

@@ -182,3 +182,44 @@ def test_merge_loaded_widens_first_conv():
     out = np.asarray(_merge_loaded(current, loaded)["model"]["input_blocks_0_0"]["kernel"])
     assert out.shape == (3, 3, 9, 8)
     assert (out[:, :, :4] == 2.0).all() and (out[:, :, 4:] == 0.0).all()
+
+
+def test_trainer_spatial_modality_with_preview(tmp_path):
+    """End-to-end training + preview for a downsampler modality (canny)."""
+    cfg = _model_config()
+    cfg["model"]["params"]["grounding_tokenizer"] = {
+        "target": "canny", "params": {"resize_input": 64, "out_dim": CTX}
+    }
+    cfg["model"]["params"]["grounding_downsampler"] = {
+        "target": "canny", "params": {"resize_input": 32, "out_dim": 4}
+    }
+    run = TrainerConfig(
+        name="canny", output_root=str(tmp_path), batch_size=1,
+        warmup_steps=1, total_iters=100, save_every_iters=2,
+        log_every_iters=1, dtype="float32", grounding_modality="canny",
+        preview_samples=True, preview_steps=2,
+    )
+    tr = Trainer(cfg, run)
+
+    class CannyDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "id": i,
+                "image": rng.standard_normal((16, 16, 3)).astype(np.float32) * 0.3,
+                "canny_edge": rng.standard_normal((64, 64, 3)).astype(np.float32) * 0.3,
+                "mask": np.float32(1.0),
+                "caption": f"edges {i}",
+            }
+
+    state = tr.start_training(max_iters=3, dataset=CannyDS())
+    assert int(np.asarray(state.step)) == 3
+    import os
+
+    previews = [f for f in os.listdir(tr.tag_dir) if f.startswith("preview_")]
+    assert previews
+    # downsampler params are trainable for this config
+    assert any("downsample_net" in "/".join(k) for k in state.train_params)
