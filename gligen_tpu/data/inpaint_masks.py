@@ -119,12 +119,16 @@ def get_a_fg_mask(rng: np.random.Generator, height: int, width: int) -> np.ndarr
 
 
 def get_a_bg_mask(rng: np.random.Generator, size: int = 64) -> np.ndarray:
-    """~30%-area whole-image mask (inpaint_mask_func.py:94-115)."""
-    assert size == 64
-    return 1.0 - generate_stroke_mask(
+    """~30%-area whole-image mask, drawn at 64x64 then nearest-resized
+    (inpaint_mask_func.py:94-115; the reference only ever uses size=64)."""
+    mask = 1.0 - generate_stroke_mask(
         rng, (64, 64), max_parts=4, max_vertex=10, max_length=32,
         min_brush=3, max_brush=12, max_angle=360,
     )
+    if size == 64:
+        return mask
+    idx = (np.arange(size) * 64 // size).clip(max=63)
+    return mask[np.ix_(idx, idx)]
 
 
 def draw_masks_from_boxes(

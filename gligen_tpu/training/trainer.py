@@ -77,6 +77,11 @@ class Trainer:
         enable_compilation_cache()
         self.run = run
         self.model_config = model_config
+        # Persistent host RNG for per-batch stroke masks: the reference
+        # resamples masks every batch (trainer.py:340-344 + inpaint_mask_func.py);
+        # a fresh per-call generator seeded by a constant would freeze the mask
+        # distribution across batches.
+        self._mask_rng = np.random.default_rng(run.seed + 0x5EED)
         dtype = jnp.bfloat16 if run.dtype == "bfloat16" else jnp.float32
 
         # ---- components (trainer.py:181-184) ----
@@ -255,7 +260,7 @@ class Trainer:
                 raw["boxes"], self.latent_size,
                 randomize_fg_mask=self.run.randomize_fg_mask,
                 random_add_bg_mask=self.run.random_add_bg_mask,
-                rng=np.random.default_rng(self.run.seed + len(items)),
+                rng=self._mask_rng,
             )
         return batch
 

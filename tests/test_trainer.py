@@ -164,6 +164,41 @@ def test_loss_decreases_on_fixed_batch():
     assert all(b < a for a, b in zip(tail, tail[1:])), losses
 
 
+def test_inpaint_masks_vary_across_batches(tmp_path):
+    """Regression: stroke masks must be resampled every batch (reference
+    trainer.py:340-344 draws fresh masks per step).  A per-call generator
+    seeded with a constant froze the mask distribution across batches."""
+    run = TrainerConfig(
+        name="inp", output_root=str(tmp_path), batch_size=1, dtype="float32",
+        inpaint_mode=True, randomize_fg_mask=True, random_add_bg_mask=True,
+    )
+    tr = Trainer(_model_config(), run)
+    ds = SyntheticBoxDataset(8, 16)
+    items = [ds[i] for i in range(4)]  # identical items both times
+    m1 = tr.collate(list(items))["inpainting_mask"]
+    m2 = tr.collate(list(items))["inpainting_mask"]
+    assert m1.shape == m2.shape == (4, 8, 8, 1)
+    assert not np.array_equal(m1, m2), "masks identical across batches"
+    # ... and across simulated epochs (many batches later, still fresh)
+    for _ in range(3):
+        tr.collate(list(items))
+    m3 = tr.collate(list(items))["inpainting_mask"]
+    assert not np.array_equal(m1, m3)
+
+
+def test_stroke_mask_area_distribution():
+    """Mean kept-area of the stroke masks tracks the reference targets:
+    fg masks keep ~25% (mask ~75% of the object box), bg masks keep ~70%
+    (mask ~30% of the image) — inpaint_mask_func.py:47-115."""
+    from gligen_tpu.data.inpaint_masks import get_a_bg_mask, get_a_fg_mask
+
+    rng = np.random.default_rng(0)
+    fg = np.mean([get_a_fg_mask(rng, 64, 64).mean() for _ in range(40)])
+    bg = np.mean([get_a_bg_mask(rng, 64).mean() for _ in range(40)])
+    assert 0.05 < fg < 0.5, fg   # large strokes: most of the box masked
+    assert 0.5 < bg < 0.95, bg   # small strokes: most of the image kept
+
+
 def test_merge_loaded_widens_first_conv():
     """Loading the 4-ch official SD conv into a widened (inpaint/downsampler)
     model zero-extends the new input channels (convert_ckpt.py semantics)."""
