@@ -164,8 +164,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+                    dk_ref, dv_ref, db_ref, dk_acc, dv_acc, db_acc, *, scale):
     """dv[j] = sum_i P_ij dout_i ; dk[j] = sum_i dS_ij (scale * q_i);
+    dbias[j] = sum_i dS_ij (bias enters the logit additively);
     Q streamed along the innermost grid axis."""
     i = pl.program_id(2)
 
@@ -173,6 +174,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     def _():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
+        if db_acc is not None:
+            db_acc[:] = jnp.zeros_like(db_acc)
 
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -192,11 +195,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if db_acc is not None:
+        db_acc[:] = db_acc[:] + jnp.sum(ds, axis=0)[None, :]
 
     @pl.when(i == pl.num_programs(2) - 1)
     def _():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        if db_ref is not None:
+            db_ref[0, 0, :] = db_acc[0, :]
 
 
 # ------------------------------------------------------- custom-vjp core
@@ -216,6 +223,16 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     qp, kp, vp, bias, out, lse = res
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
+
+    # The backward kernels materialize fp32 (block_q, block_kv) score /
+    # probability tiles (s, p, dp, ds).  The forward's single-KV fast path
+    # can set block_kv ~ the whole sequence (4126 at the 512^2 gated-SA
+    # site), which at block_q=512 blows the 16MB scoped-VMEM budget in the
+    # dK/dV kernel (2x (block_kv, d) fp32 scratch on top).  Shrink the
+    # backward's q-block until one tile fits 3MB; n_pad stays divisible
+    # because bq only halves.
+    while block_q % 2 == 0 and block_q > 128 and block_q * block_kv * 4 > 3 * 1024 * 1024:
+        block_q //= 2
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # (BH, 1, N)
@@ -262,12 +279,13 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
     # ---- dK/dV: grid (bh, kv_blocks, q_blocks), Q innermost ----
     def dkv_kernel_wrap(*refs):
         if has_bias:
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva = refs
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, db_r, dka, dva, dba = refs
         else:
             q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva = refs
-            b_r = None
+            b_r = db_r = dba = None
         _bwd_dkv_kernel(
-            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva, scale=scale
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, db_r, dka, dva, dba,
+            scale=scale,
         )
 
     dkv_in_specs = [
@@ -284,27 +302,41 @@ def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
         pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
     ]
-    dk, dv = pl.pallas_call(
+    dkv_out_specs = [
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    dkv_out_shapes = [
+        jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+        jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((block_kv, d_pad), jnp.float32),
+        pltpu.VMEM((block_kv, d_pad), jnp.float32),
+    ]
+    if has_bias:
+        dkv_out_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM)
+        )
+        dkv_out_shapes.append(jax.ShapeDtypeStruct((bh, 1, m_pad), jnp.float32))
+        dkv_scratch.append(pltpu.VMEM((1, block_kv), jnp.float32))
+    outs = pl.pallas_call(
         dkv_kernel_wrap,
         grid=(bh, m_pad // block_kv, n_pad // block_q),
         in_specs=dkv_in_specs,
-        out_specs=(
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
-            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, d_pad), jnp.float32),
-            pltpu.VMEM((block_kv, d_pad), jnp.float32),
-        ],
+        out_specs=tuple(dkv_out_specs),
+        out_shape=tuple(dkv_out_shapes),
+        scratch_shapes=dkv_scratch,
         compiler_params=_SEMANTICS,
         interpret=interpret,
     )(qp, kp, vp, *bias_args, do, lse, delta)
 
-    dbias = jnp.zeros_like(bias) if has_bias else None
+    if has_bias:
+        dk, dv, dbias = outs
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dk, dv = outs
+        dbias = None
     return dq, dk, dv, dbias
 
 

@@ -90,6 +90,53 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
 
 
+def test_flash_bias_gradient_matches_xla():
+    """dbias from the fused backward (sum of dS rows) vs XLA autodiff —
+    a learned/computed additive bias must get a true gradient, not zero."""
+    bh, n, m, d = 2, 128, 160, 32
+    q, k, v = _rand(bh, n, d), _rand(bh, m, d), _rand(bh, m, d)
+    bias = _rand(bh, 1, m) * 0.5
+    scale = d**-0.5
+
+    def loss_flash(q, k, v, bias):
+        out = flash_attention(q, k, v, bias=bias, block_q=64, block_kv=64, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_xla(q, k, v, bias):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) * scale + bias
+        out = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+        return jnp.sum(out * jnp.sin(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    assert float(jnp.abs(gf[3]).max()) > 1e-3  # non-trivial dbias
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_flash_bias_gradient_ragged_kv():
+    """dbias with KV padding: padded columns must not corrupt real ones."""
+    bh, n, m, d = 1, 64, 100, 16  # m=100 pads to 128
+    q, k, v = _rand(bh, n, d), _rand(bh, m, d), _rand(bh, m, d)
+    bias = _rand(bh, 1, m) * 0.3
+    scale = d**-0.5
+
+    f = lambda b_: jnp.sum(
+        flash_attention(q, k, v, bias=b_, block_q=64, block_kv=64, interpret=True) ** 2
+    )
+    g = lambda b_: jnp.sum(
+        jnp.einsum(
+            "bnm,bmd->bnd",
+            jax.nn.softmax(jnp.einsum("bnd,bmd->bnm", q, k) * scale + b_, axis=-1),
+            v,
+        )
+        ** 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(bias)), np.asarray(jax.grad(g)(bias)), atol=3e-4
+    )
+
+
 def test_flash_gradients_with_mask():
     b, h, n, m, c = 1, 2, 64, 77, 16
     q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
