@@ -54,12 +54,18 @@ def load_image_pm1(path: str, size: int = 512, mode: str = "RGB") -> np.ndarray:
 
 
 class FeatureExtractor:
-    """CLIP phrase/image features (gligen_inference.py:100-127)."""
+    """CLIP phrase/image features (gligen_inference.py:100-127).
 
-    def __init__(self, pipe, vision_params=None, projection_matrix=None):
+    ``allow_random`` (smoke mode, random weights): image features fall back
+    to a deterministic pseudo-feature when CLIP-vision weights / the
+    projection matrix are absent, so every scenario shape stays runnable."""
+
+    def __init__(self, pipe, vision_params=None, projection_matrix=None,
+                 allow_random: bool = False):
         self.pipe = pipe
         self.vision_params = vision_params
         self.projection_matrix = projection_matrix
+        self.allow_random = allow_random
         self._vision = None
 
     def text_feature(self, phrase: str) -> np.ndarray:
@@ -82,6 +88,10 @@ class FeatureExtractor:
 
         from gligen_tpu.models.clip_vision import CLIPVisionModel, clip_preprocess
 
+        if (self.vision_params is None or self.projection_matrix is None) and self.allow_random:
+            seed = int(np.asarray(pil_image, np.uint8).sum()) % (2**31)
+            feat = np.random.default_rng(seed).standard_normal(768).astype(np.float32)
+            return feat / np.linalg.norm(feat) * 28.7
         assert self.vision_params is not None, "image grounding needs CLIP vision weights"
         assert self.projection_matrix is not None, "image grounding needs projection_matrix"
         if self._vision is None:
@@ -147,9 +157,18 @@ def prepare_batch_kp(meta, batch: int, max_persons: int = 8):
     }
 
 
+def _meta_image(meta, *keys: str) -> str:
+    """The reference metas name map keys inconsistently (hed_image/canny_image
+    vs normal/depth/sem, gligen_inference.py:532-578); accept both forms."""
+    for k in keys:
+        if k in meta:
+            return meta[k]
+    raise KeyError(f"meta missing any of {keys}: {sorted(meta)}")
+
+
 def prepare_batch_spatial(meta, batch: int, key: str, image_key: str):
     """hed/canny/depth/normal maps (gligen_inference.py:222-297)."""
-    arr = load_image_pm1(meta[image_key], 512, mode="RGB")
+    arr = load_image_pm1(_meta_image(meta, image_key, image_key.replace("_image", "")), 512, mode="RGB")
     return {
         key: np.repeat(arr[None], batch, 0),
         "mask": np.ones(batch, np.float32),
@@ -160,7 +179,7 @@ def prepare_batch_sem(meta, batch: int, num_classes: int = 152):
     """gligen_inference.py:317-338: label png -> one-hot."""
     from PIL import Image
 
-    sem = Image.open(meta["sem_image"]).convert("L")
+    sem = Image.open(_meta_image(meta, "sem_image", "sem")).convert("L")
     w, h = sem.size
     crop = min(w, h)
     sem = sem.crop(((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2))
@@ -208,10 +227,13 @@ def build_pipeline(ckpt: str, args) -> "Any":
     from gligen_tpu.training import checkpoints as ckpt_io
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if ckpt == "random" or ckpt.startswith("random:"):
+    is_random = ckpt == "random" or ckpt.startswith("random:")
+    if is_random:
         unet_config: Dict[str, Any] = {}
         if "inpaint" in ckpt:
             unet_config["inpaint_mode"] = True
+        if "text_image" in ckpt:
+            unet_config["grounding_tokenizer"] = {"target": "text_image", "params": {}}
         for tag in ("keypoint", "hed", "canny", "depth", "normal", "sem"):
             if tag in ckpt:
                 params = {"in_dim": 152} if tag == "sem" else {}
@@ -232,7 +254,18 @@ def build_pipeline(ckpt: str, args) -> "Any":
         comps = GligenComponents.create(unet_config=model_params, dtype=dtype)
         comps.params.update(params)
     pipe = GenerationPipeline(comps)
-    pipe.tokenizer = load_tokenizer(args.vocab_path)
+    # A real checkpoint with the hash-fallback tokenizer would silently
+    # produce garbage conditioning: demand real vocab files (or an explicit
+    # opt-in) whenever real weights are loaded.
+    allow_hash = is_random or getattr(args, "allow_hash_tokenizer", False)
+    try:
+        pipe.tokenizer = load_tokenizer(args.vocab_path, allow_fallback=allow_hash)
+    except FileNotFoundError as e:
+        raise SystemExit(
+            f"{e}\nReal checkpoint loaded but no CLIP vocab available — "
+            "tokenization would be garbage. Provide --vocab_path/$GLIGEN_TPU_ASSETS "
+            "or pass --allow_hash_tokenizer to opt into the smoke fallback."
+        ) from e
     return pipe
 
 
@@ -256,7 +289,10 @@ def run(meta: Dict[str, Any], args) -> List[str]:
         state = torch.load(args.clip_vision_ckpt, map_location="cpu", weights_only=False)
         state = state.get("state_dict", state)
         vision_params = convert_clip_vision(state)
-    features = FeatureExtractor(pipe, vision_params=vision_params, projection_matrix=projection)
+    features = FeatureExtractor(
+        pipe, vision_params=vision_params, projection_matrix=projection,
+        allow_random=meta["ckpt"].startswith("random"),
+    )
 
     batch = args.batch_size
     raw = prepare_batch_for(meta, batch, features)
@@ -286,11 +322,12 @@ def run(meta: Dict[str, Any], args) -> List[str]:
         )
         inpaint_image = np.repeat(load_image_pm1(meta["input_image"], 512)[None], batch, 0)
 
+    default_steps = 250 if args.no_plms else 50
     images = pipe.generate(
         ids,
         uc_ids,
         grounding,
-        steps=250 if args.no_plms else 50,
+        steps=getattr(args, "steps", None) or default_steps,
         sampler="ddim" if args.no_plms else "plms",
         guidance_scale=args.guidance_scale,
         alpha_stages=meta.get("alpha_type"),
@@ -316,8 +353,28 @@ def save_images(images: np.ndarray, folder: str) -> List[str]:
     return paths
 
 
+# The reference's two full 17-keypoint skeletons (gligen_inference.py:588-631,
+# "from id=18150 val set in coco2017k").
+KEYPOINT_DEMO_SKELETONS = [
+    [
+        [0.7598, 0.2542], [0.7431, 0.2104], [0.8118, 0.2021], [0.0, 0.0],
+        [0.9514, 0.1813], [0.7806, 0.2917], [0.0, 0.0], [0.6785, 0.5125],
+        [0.0, 0.0], [0.5389, 0.6479], [0.6785, 0.6750], [0.7973, 0.7042],
+        [0.0, 0.0], [0.6181, 0.7375], [0.9764, 0.8458], [0.0, 0.0], [0.0, 0.0],
+    ],
+    [
+        [0.2681, 0.4313], [0.2514, 0.3979], [0.0, 0.0], [0.0785, 0.3854],
+        [0.0, 0.0], [0.0910, 0.5583], [0.0, 0.0], [0.1243, 0.8479],
+        [0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0],
+        [0.0, 0.0], [0.2410, 0.8146], [0.1202, 0.6146], [0.0, 0.0],
+        [0.2743, 0.7188],
+    ],
+]
+
+
 def default_meta_list(ckpt_root: str = "gligen_checkpoints") -> List[Dict[str, Any]]:
-    """The reference's demonstration scenarios (gligen_inference.py:467-637)."""
+    """All 11 of the reference's demonstration scenarios
+    (gligen_inference.py:467-637), in the reference's order."""
     j = lambda name: os.path.join(ckpt_root, name)
     return [
         dict(
@@ -340,45 +397,74 @@ def default_meta_list(ckpt_root: str = "gligen_checkpoints") -> List[Dict[str, A
             ckpt=j("checkpoint_generation_text_image.pth"),
             prompt="an alarm clock sitting on the beach",
             images=["inference_images/clock.png"],
-            phrases=[None],
+            phrases=["alarm clock"],
             locations=[[0.0, 0.09, 0.53, 0.76]],
             alpha_type=[1.0, 0.0, 0.0],
             save_folder_name="generation_box_image",
         ),
+        # Style grounding: a pseudo-phrase slot carrying a style image whose
+        # text feature is masked out and image feature kept
+        # (gligen_inference.py:505-516).
+        dict(
+            ckpt=j("checkpoint_generation_text_image.pth"),
+            prompt="a brick house in the woods, anime, oil painting",
+            phrases=["a brick house", "placehoder"],
+            images=["inference_images/placeholder.png", "inference_images/style_golden.jpg"],
+            locations=[[0.4, 0.2, 1.0, 0.8], [0.0, 1.0, 0.0, 1.0]],
+            alpha_type=[1.0, 0.0, 0.0],
+            text_mask=[1, 0],   # the second text feature is masked
+            image_mask=[0, 1],  # the first image feature is masked
+            save_folder_name="generation_box_text_style",
+        ),
+        # Inpainting grounded by a reference image (gligen_inference.py:519-527).
+        dict(
+            ckpt=j("checkpoint_inpainting_text_image.pth"),
+            input_image="inference_images/beach.jpg",
+            prompt="a bigben on the beach",
+            images=["inference_images/bigben.jpg"],
+            locations=[[0.18, 0.08, 0.62, 0.75]],
+            save_folder_name="inpainting_box_image",
+        ),
         dict(
             ckpt=j("checkpoint_generation_hed.pth"),
-            prompt="a living room",
+            prompt="a man is eating breakfast",
             hed_image="inference_images/hed.png",
+            alpha_type=[0.9, 0.0, 0.1],
             save_folder_name="hed",
         ),
         dict(
             ckpt=j("checkpoint_generation_canny.pth"),
-            prompt="a photo of a bird",
+            prompt="A Humanoid Robot Designed for Companionship",
             canny_image="inference_images/canny.png",
+            alpha_type=[0.9, 0.0, 0.1],
             save_folder_name="canny",
         ),
         dict(
-            ckpt=j("checkpoint_generation_depth.pth"),
-            prompt="a bedroom",
-            depth_image="inference_images/depth.png",
-            save_folder_name="depth",
-        ),
-        dict(
             ckpt=j("checkpoint_generation_normal.pth"),
-            prompt="a room",
-            normal_image="inference_images/normal.png",
+            prompt="a large tree with no leaves in front of a building",
+            normal="inference_images/normal.png",
+            alpha_type=[0.7, 0.0, 0.3],
             save_folder_name="normal",
         ),
         dict(
+            ckpt=j("checkpoint_generation_depth.pth"),
+            prompt="a Vibrant colorful Bird Sitting on Tree Branch",
+            depth="inference_images/depth.png",
+            alpha_type=[0.7, 0.0, 0.3],
+            save_folder_name="depth",
+        ),
+        dict(
             ckpt=j("checkpoint_generation_sem.pth"),
-            prompt="a park",
-            sem_image="inference_images/sem.png",
+            prompt="a living room filled with lots of furniture and plants",
+            sem="inference_images/sem.png",
+            alpha_type=[0.7, 0.0, 0.3],
             save_folder_name="sem",
         ),
         dict(
             ckpt=j("checkpoint_generation_keypoint.pth"),
-            prompt="two people dancing",
-            locations=[[[0.5, 0.2]] * 17],
+            prompt="A young man and a small boy are talking",
+            locations=KEYPOINT_DEMO_SKELETONS,
+            alpha_type=[0.3, 0.0, 0.7],
             save_folder_name="keypoint",
         ),
     ]
@@ -389,6 +475,8 @@ def main(argv: Optional[List[str]] = None):
     parser.add_argument("--folder", type=str, default="generation_samples")
     parser.add_argument("--batch_size", type=int, default=5)
     parser.add_argument("--no_plms", action="store_true")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override sampler steps (default 50 PLMS / 250 DDIM)")
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument(
         "--negative_prompt", type=str,
@@ -402,6 +490,10 @@ def main(argv: Optional[List[str]] = None):
     parser.add_argument("--projection_matrix", type=str, default="projection_matrix")
     parser.add_argument("--clip_vision_ckpt", type=str, default=None)
     parser.add_argument("--vocab_path", type=str, default=None)
+    parser.add_argument(
+        "--allow_hash_tokenizer", action="store_true",
+        help="permit the hash-fallback tokenizer even with real weights (smoke only)",
+    )
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
@@ -422,11 +514,15 @@ def main(argv: Optional[List[str]] = None):
 
 
 def _tag_random(meta, base):
-    # keep modality substring dispatch working in smoke mode
-    for tag in ("keypoint", "hed", "canny", "depth", "normal", "sem", "inpaint"):
-        if tag in meta.get("save_folder_name", "") or tag in meta["ckpt"]:
-            return f"{base}:{tag}"
-    return base
+    # keep modality substring dispatch working in smoke mode; a meta can
+    # carry several tags (e.g. inpainting_text_image -> inpaint + text_image)
+    tags = [
+        tag
+        for tag in ("keypoint", "hed", "canny", "depth", "normal", "sem",
+                    "inpaint", "text_image")
+        if tag in meta.get("save_folder_name", "") or tag in meta["ckpt"]
+    ]
+    return ":".join([base] + tags) if tags else base
 
 
 if __name__ == "__main__":

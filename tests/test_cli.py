@@ -59,8 +59,108 @@ def test_save_images_sequential_numbering(tmp_path):
     assert names == ["0.png", "1.png", "2.png", "3.png"]
 
 
-def test_default_meta_list_covers_modalities():
+def test_default_meta_list_covers_all_11_scenarios():
+    """All 11 reference demonstration scenarios (gligen_inference.py:467-637)."""
     metas = default_meta_list()
-    folders = {m["save_folder_name"] for m in metas}
-    assert {"generation_box_text", "inpainting_box_text", "generation_box_image",
-            "hed", "canny", "depth", "normal", "sem", "keypoint"} <= folders
+    folders = [m["save_folder_name"] for m in metas]
+    assert folders == [
+        "generation_box_text", "inpainting_box_text", "generation_box_image",
+        "generation_box_text_style", "inpainting_box_image",
+        "hed", "canny", "normal", "depth", "sem", "keypoint",
+    ]
+    # every referenced asset exists so the suite is runnable
+    import os
+
+    for m in metas:
+        for key in ("input_image", "hed_image", "canny_image", "normal", "depth", "sem"):
+            if key in m:
+                assert os.path.exists(m[key]), (m["save_folder_name"], m[key])
+        for img in m.get("images", []):
+            assert os.path.exists(img), (m["save_folder_name"], img)
+
+
+def test_style_slot_masks_route_correctly():
+    """The style pseudo-slot (gligen_inference.py:505-516): text_mask=[1,0]
+    zeroes the style slot's TEXT feature mask; image_mask=[0,1] zeroes the
+    object slot's IMAGE feature mask — while base masks keep both slots."""
+    from gligen_tpu.inference.cli import default_meta_list, prepare_batch_box
+
+    meta = next(
+        m for m in default_meta_list()
+        if m["save_folder_name"] == "generation_box_text_style"
+    )
+
+    class FakeFeatures:
+        def text_feature(self, phrase):
+            return np.full(768, 1.0, np.float32)
+
+        def image_feature(self, path):
+            return np.full(768, 2.0, np.float32)
+
+    out = prepare_batch_box(meta, batch=2, features=FakeFeatures())
+    # both slots participate in gated attention
+    np.testing.assert_array_equal(out["masks"][0, :2], [1, 1])
+    # slot 0 (object): text on, image off; slot 1 (style): text off, image on
+    np.testing.assert_array_equal(out["text_masks"][0, :2], [1, 0])
+    np.testing.assert_array_equal(out["image_masks"][0, :2], [0, 1])
+    # features were extracted for both slots regardless (reference behavior)
+    assert out["text_embeddings"][0, 1].any()
+    assert out["image_embeddings"][0, 0].any()
+    # style slot location is the reference's full-frame pseudo-box
+    np.testing.assert_allclose(out["boxes"][0, 1], [0.0, 1.0, 0.0, 1.0])
+
+
+def test_keypoint_meta_uses_real_skeletons():
+    metas = default_meta_list()
+    kp = next(m for m in metas if m["save_folder_name"] == "keypoint")
+    pts = np.asarray(kp["locations"], np.float32)
+    assert pts.shape == (2, 17, 2)  # two people, full 17-keypoint skeletons
+    # realistic structure: several distinct visible keypoints per person
+    for person in pts:
+        visible = person[(person != 0).any(axis=1)]
+        assert len(visible) >= 8
+        assert len(np.unique(visible, axis=0)) == len(visible)
+
+
+def test_tag_random_multi_modality():
+    from gligen_tpu.inference.cli import _tag_random
+
+    metas = {m["save_folder_name"]: m for m in default_meta_list()}
+    assert _tag_random(metas["inpainting_box_image"], "random") == "random:inpaint:text_image"
+    assert _tag_random(metas["generation_box_text_style"], "random") == "random:text_image"
+    assert _tag_random(metas["generation_box_text"], "random") == "random"
+    assert _tag_random(metas["hed"], "random") == "random:hed"
+
+
+def test_real_ckpt_requires_real_tokenizer(tmp_path, monkeypatch):
+    """A real checkpoint + missing vocab must fail loudly, not fall back to
+    the hash tokenizer (silent garbage conditioning)."""
+    import pytest
+
+    import gligen_tpu.inference.cli as cli
+
+    monkeypatch.delenv("GLIGEN_TPU_ASSETS", raising=False)
+
+    class Args:
+        dtype = "float32"
+        vocab_path = None
+        sd_input_conv = str(tmp_path / "missing.pth")
+        seed = 0
+        allow_hash_tokenizer = False
+
+    # fake checkpoint load so we reach the tokenizer gate without real weights
+    monkeypatch.setattr(
+        cli, "run", cli.run, raising=True
+    )
+    from gligen_tpu.training import checkpoints as ckpt_io
+
+    def fake_load(path, sd_first_conv_path=None):
+        return {}, {"model": {"params": {
+            "model_channels": 32, "context_dim": 32, "num_heads": 2,
+            "attention_resolutions": [1], "num_res_blocks": 1, "channel_mult": [1],
+            "grounding_tokenizer": {"target": "text", "params": {"in_dim": 32, "out_dim": 32}},
+        }}}
+
+    monkeypatch.setattr(ckpt_io, "load_gligen_torch_checkpoint", fake_load)
+    with pytest.raises(SystemExit, match="allow_hash_tokenizer"):
+        cli.build_pipeline(str(tmp_path / "real_ckpt.pth"), Args())
