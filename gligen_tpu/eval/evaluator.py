@@ -91,6 +91,13 @@ class Evaluator:
             _iter_images(folders["real"]), _iter_images(folders["fake"]), feature_fn
         )
 
+    def fire_lpips(self, folders: Dict[str, str], lpips_fn=None) -> float:
+        """Mean LPIPS over aligned real/fake pairs (the BASELINE fidelity
+        gate measures fake-vs-reference-fake; see docs/fidelity_gate.md)."""
+        from gligen_tpu.eval.lpips import lpips_over_folders
+
+        return lpips_over_folders(folders["real"], folders["fake"], lpips_fn)
+
 
 def _iter_images(folder: str) -> Iterable[np.ndarray]:
     from PIL import Image
@@ -98,3 +105,72 @@ def _iter_images(folder: str) -> Iterable[np.ndarray]:
     for name in sorted(os.listdir(folder)):
         if name.endswith((".png", ".jpg")):
             yield np.asarray(Image.open(os.path.join(folder, name)), np.float32) / 255.0
+
+
+def main(argv=None):
+    """``python -m gligen_tpu.eval.evaluator --a DIR --b DIR --lpips [--fid]``:
+    metrics over two image folders (aligned filenames pair up)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--a", required=True, help="first folder (e.g. reference outputs)")
+    ap.add_argument("--b", required=True, help="second folder (e.g. our outputs)")
+    ap.add_argument("--lpips", action="store_true")
+    ap.add_argument("--lpips_backbone", default="conv", choices=["conv", "clip"])
+    ap.add_argument("--clip_vision_ckpt", default=None)
+    ap.add_argument("--fid", action="store_true")
+    ap.add_argument("--psnr", action="store_true")
+    args = ap.parse_args(argv)
+
+    out = {}
+    if args.lpips:
+        from gligen_tpu.eval.lpips import lpips_over_folders, make_lpips_fn
+
+        fn = None
+        if args.lpips_backbone == "clip":
+            import torch
+
+            from gligen_tpu.convert.torch_to_jax import convert_clip_vision
+            from gligen_tpu.models.clip_vision import CLIPVisionModel
+
+            state = torch.load(args.clip_vision_ckpt, map_location="cpu", weights_only=False)
+            fn = make_lpips_fn(
+                "clip", vision_model=CLIPVisionModel(),
+                params=convert_clip_vision(state.get("state_dict", state)),
+            )
+        out["lpips"] = lpips_over_folders(args.a, args.b, fn)
+    if args.fid:
+        from gligen_tpu.eval.lpips import PerceptualConvStack, make_lpips_fn  # noqa: F401
+        import jax
+        import jax.numpy as jnp
+
+        # CLIP weights may be absent: use the conv stack's deepest stage
+        # pooled as the FID feature when no vision tower is supplied.
+        from gligen_tpu.eval.lpips import PerceptualConvStack
+
+        model = PerceptualConvStack()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+
+        @jax.jit
+        def feat(images):
+            return model.apply({"params": params}, jnp.asarray(images))[-1].mean(axis=(1, 2))
+
+        out["fid"] = fid_from_folders(
+            _iter_images(args.a), _iter_images(args.b), lambda x: np.asarray(feat(x))
+        )
+    if args.psnr:
+        from gligen_tpu.eval.metrics import psnr
+
+        import jax.numpy as jnp
+
+        pairs = list(zip(_iter_images(args.a), _iter_images(args.b)))
+        out["psnr"] = float(
+            np.mean([np.asarray(psnr(jnp.asarray(x)[None], jnp.asarray(y)[None])) for x, y in pairs])
+        )
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

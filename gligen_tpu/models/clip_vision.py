@@ -33,8 +33,12 @@ def clip_preprocess(images: jax.Array, size: int = 224) -> jax.Array:
     images, gligen_inference.py:109) + CLIP mean/std normalization.
     """
     x = images.astype(jnp.float32)
-    if x.dtype == jnp.uint8 or x.max() > 2.0:  # heuristic only for uint8 path
+    if images.dtype == jnp.uint8:
         x = x / 255.0
+    else:
+        # heuristic for callers passing [0,255] floats; traced select so the
+        # function stays jittable
+        x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)
     x = resize_2d(x, (size, size), mode="bicubic")
     return (x - CLIP_MEAN) / CLIP_STD
 
@@ -59,7 +63,9 @@ class CLIPVisionLayer(nn.Module):
 
 
 class CLIPVisionModel(nn.Module):
-    """Returns (image_embeds, pooled_pre_projection)."""
+    """Returns (image_embeds, pooled_pre_projection); with
+    ``output_hidden_states=True`` also the per-layer patch-token grids
+    (B, P, P, C) for perceptual (LPIPS) feature stacks."""
 
     image_size: int = 224
     patch_size: int = 14
@@ -70,7 +76,7 @@ class CLIPVisionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels: jax.Array):
+    def __call__(self, pixels: jax.Array, output_hidden_states: bool = False):
         b = pixels.shape[0]
         n_patches = (self.image_size // self.patch_size) ** 2
 
@@ -101,8 +107,12 @@ class CLIPVisionModel(nn.Module):
             epsilon=1e-5, name="pre_layrnorm", dtype=jnp.float32, param_dtype=jnp.float32
         )(x).astype(self.dtype)
 
+        hidden_states = []
+        p = self.image_size // self.patch_size
         for i in range(self.layers):
             x = CLIPVisionLayer(self.heads, name=f"layers_{i}", dtype=self.dtype)(x)
+            if output_hidden_states:
+                hidden_states.append(x[:, 1:].reshape(b, p, p, self.hidden_size))
 
         pooled = nn.LayerNorm(
             epsilon=1e-5, name="post_layernorm", dtype=jnp.float32, param_dtype=jnp.float32
@@ -111,4 +121,6 @@ class CLIPVisionModel(nn.Module):
             self.projection_dim, use_bias=False, name="visual_projection",
             dtype=self.dtype, param_dtype=jnp.float32,
         )(pooled)
+        if output_hidden_states:
+            return image_embeds, pooled, hidden_states
         return image_embeds, pooled

@@ -62,3 +62,94 @@ def test_lpips_zero_for_identical():
     np.testing.assert_allclose(d, 0.0, atol=1e-10)
     other = [feats[0] + 1.0]
     assert np.asarray(lpips_distance(feats, other)) > 0
+
+
+# ------------------------------------------------------- executable LPIPS
+
+def test_lpips_monotone_under_corruption():
+    """The conv-backbone LPIPS must increase monotonically with noise
+    strength (the property that makes it usable as a perceptual gate)."""
+    from gligen_tpu.eval.lpips import make_lpips_fn
+
+    fn = make_lpips_fn("conv", image_size=64)
+    rng = np.random.default_rng(0)
+    base = rng.random((2, 64, 64, 3)).astype(np.float32)
+    dists = []
+    for sigma in (0.0, 0.02, 0.05, 0.1, 0.2, 0.4):
+        noisy = np.clip(base + rng.normal(0, sigma, base.shape), 0, 1).astype(np.float32)
+        dists.append(float(fn(base, noisy).mean()))
+    assert dists[0] < 1e-6
+    assert all(b > a for a, b in zip(dists, dists[1:])), dists
+
+
+def test_lpips_blur_vs_heavier_blur():
+    from gligen_tpu.eval.lpips import make_lpips_fn
+
+    fn = make_lpips_fn("conv", image_size=64)
+    rng = np.random.default_rng(1)
+    base = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+    def boxblur(x, k):
+        out = x.copy()
+        for _ in range(k):
+            out = (
+                np.roll(out, 1, 1) + np.roll(out, -1, 1)
+                + np.roll(out, 1, 2) + np.roll(out, -1, 2) + out
+            ) / 5.0
+        return out.astype(np.float32)
+
+    d1 = float(fn(base, boxblur(base, 1)).mean())
+    d3 = float(fn(base, boxblur(base, 4)).mean())
+    assert 0 < d1 < d3
+
+
+def test_lpips_clip_backbone_wiring():
+    """CLIP-backbone LPIPS runs with a tiny random vision tower and keeps
+    the identical-is-zero / corrupted-is-positive contract."""
+    import jax
+
+    from gligen_tpu.eval.lpips import make_lpips_fn
+    from gligen_tpu.models.clip_vision import CLIPVisionModel
+
+    model = CLIPVisionModel(image_size=56, patch_size=14, hidden_size=32,
+                            layers=3, heads=2, projection_dim=16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3))
+    )["params"]
+    fn = make_lpips_fn("clip", vision_model=model, params=params,
+                       clip_layers=(0, 1, 2))
+    rng = np.random.default_rng(2)
+    a = rng.random((1, 56, 56, 3)).astype(np.float32)
+    assert float(fn(a, a).mean()) < 1e-6
+    noisy = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1).astype(np.float32)
+    assert float(fn(a, noisy).mean()) > 1e-4
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    """`evaluate --lpips --psnr --fid` runs end to end on synthetic folders
+    and reports sane numbers (VERDICT round-1 item 6)."""
+    from PIL import Image
+
+    from gligen_tpu.eval.evaluator import main as evaluate_main
+
+    rng = np.random.default_rng(3)
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    for i in range(4):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(a_dir / f"{i}.png")
+        noisy = np.clip(
+            img.astype(np.float32) + rng.normal(0, 25, img.shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(noisy).save(b_dir / f"{i}.png")
+
+    out = evaluate_main(["--a", str(a_dir), "--b", str(b_dir),
+                         "--lpips", "--psnr", "--fid"])
+    assert 0 < out["lpips"] < 50
+    assert 10 < out["psnr"] < 40
+    assert out["fid"] >= 0
+
+    # identical folders: lpips ~ 0
+    out2 = evaluate_main(["--a", str(a_dir), "--b", str(a_dir), "--lpips"])
+    assert out2["lpips"] < 1e-6
