@@ -11,7 +11,11 @@ TPU serving (no gradio dependency in this image):
     {"prompt": str, "phrases": [...], "locations": [[x0,y0,x1,y1]...],
      "batch_size": n, "guidance_scale": s, "alpha_type": [a,b,c],
      "style_image": b64?, "task": "generation"|"inpainting",
-     "input_image": b64?, "seed": int}
+     "input_image": b64?, "actual_mask": b64?  (user-drawn inpaint sketch,
+        demo/app.py:276-281: nonzero pixels = region to inpaint),
+     "keypoints": [[[x,y]*17]...]?  (keypoint-model serving),
+     "map_image": b64?  (hed/canny/depth/normal/sem-model serving),
+     "seed": int}
   -> {"images": [b64 png, ...], "latency_sec": t}
   GET /health -> {"status": "ok"}
 
@@ -59,6 +63,52 @@ class ServingSession:
         self.features = feature_extractor
         self.default_steps = default_steps
         self._lock = threading.Lock()
+
+    # ---- modality dispatch -------------------------------------------
+    def _modality(self) -> str:
+        tok = (self.pipe.c.unet.grounding_tokenizer or {}).get("target", "text")
+        for m in ("text_image", "keypoint", "hed", "canny", "depth", "normal", "sem"):
+            if m in tok:
+                return m
+        return "text"
+
+    def _grounding_for_modality(self, inst: Dict[str, Any], batch: int):
+        """Returns (grounding kwargs, optional downsampler map)."""
+        mod = self._modality()
+        if mod in ("text", "text_image"):
+            return self._grounding_from_instruction(inst, batch), None
+        if mod == "keypoint":
+            from gligen_tpu.inference.cli import prepare_batch_kp
+
+            if "keypoints" not in inst:
+                raise ValueError("keypoint model: POST 'keypoints' = [[[x,y]*17]...]")
+            return prepare_batch_kp({"locations": inst["keypoints"]}, batch), None
+        # spatially-aligned modalities: a condition map image rides b64
+        if "map_image" not in inst:
+            raise ValueError(f"{mod} model: POST 'map_image' = b64 condition map")
+        from gligen_tpu.inference.cli import crop_and_resize
+
+        if mod == "sem":
+            from PIL import Image
+
+            sem = Image.open(io.BytesIO(base64.b64decode(inst["map_image"]))).convert("L")
+            w, h = sem.size
+            crop = min(w, h)
+            sem = sem.crop(((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2))
+            lab = np.asarray(sem.resize((512, 512), Image.NEAREST), np.int64)
+            onehot = np.zeros((512, 512, 152), np.float32)
+            np.put_along_axis(onehot, lab[..., None], 1.0, axis=-1)
+            arr = onehot
+            key = "sem"
+        else:
+            img = crop_and_resize(_b64_to_image(inst["map_image"]), 512)
+            arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+            key = {"hed": "hed_edge", "canny": "canny_edge", "depth": "depth",
+                   "normal": "normal"}[mod]
+        rep = np.repeat(arr[None], batch, 0)
+        grounding = {key: rep, "mask": np.ones(batch, np.float32)}
+        extra = rep if self.pipe.c.unet.grounding_downsampler else None
+        return grounding, extra
 
     # ---- instruction -> grounding batch (app.py:152-213 semantics) ----
     def _grounding_from_instruction(self, inst: Dict[str, Any], batch: int):
@@ -111,11 +161,25 @@ class ServingSession:
         tok = (self.pipe.c.unet.grounding_tokenizer or {}).get("target", "text")
         return "text_image" in tok
 
+    def _decode_actual_mask(self, data: str, latent_size: int = 64) -> np.ndarray:
+        """User-drawn inpaint sketch -> latent keep-mask (demo/app.py:276-281:
+        center-crop to 64x64, keep where the sketch is untouched (== 0))."""
+        from PIL import Image
+
+        sketch = Image.open(io.BytesIO(base64.b64decode(data))).convert("L")
+        w, h = sketch.size
+        crop = min(w, h)
+        sketch = sketch.crop(
+            ((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2)
+        )
+        arr = np.asarray(sketch.resize((latent_size, latent_size), Image.NEAREST))
+        return (arr == 0).astype(np.float32)[..., None]  # (h, w, 1) keep-mask
+
     def generate(self, inst: Dict[str, Any]) -> Dict[str, Any]:
         import jax
 
         batch = int(inst.get("batch_size", 1))
-        grounding = self._grounding_from_instruction(inst, batch)
+        grounding, grounding_extra = self._grounding_for_modality(inst, batch)
         ids = self.tokenizer([inst.get("prompt", "")] * batch)
         uc_ids = self.tokenizer([inst.get("negative_prompt", "")] * batch)
 
@@ -127,8 +191,13 @@ class ServingSession:
             img = crop_and_resize(_b64_to_image(inst["input_image"]), 512)
             arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
             inpaint_image = np.repeat(arr[None], batch, 0)
-            locs = np.asarray(inst.get("locations", []), np.float32)
-            inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), 64)
+            if inst.get("actual_mask"):
+                # user-drawn sketch mask (task_grounded_generation.py:219-233)
+                keep = self._decode_actual_mask(inst["actual_mask"])
+                inpaint_mask = np.repeat(keep[None], batch, 0)
+            else:
+                locs = np.asarray(inst.get("locations", []), np.float32)
+                inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), 64)
 
         t0 = time.time()
         with self._lock:
@@ -137,6 +206,7 @@ class ServingSession:
                 steps=int(inst.get("steps", self.default_steps)),
                 guidance_scale=float(inst.get("guidance_scale", 7.5)),
                 alpha_stages=inst.get("alpha_type"),
+                grounding_extra=grounding_extra,
                 inpaint_image=inpaint_image,
                 inpaint_mask=inpaint_mask,
                 rng=jax.random.PRNGKey(int(inst.get("seed", 0))),

@@ -15,17 +15,19 @@ from gligen_tpu.serving.server import ServingSession, make_server
 
 
 class _StubUNet:
-    grounding_tokenizer = {"target": "text"}
+    def __init__(self, tokenizer_target="text", downsampler=None):
+        self.grounding_tokenizer = {"target": tokenizer_target}
+        self.grounding_downsampler = downsampler
 
 
 class _StubComponents:
-    unet = _StubUNet()
+    def __init__(self, unet):
+        self.unet = unet
 
 
 class _StubPipeline:
-    c = _StubComponents()
-
-    def __init__(self):
+    def __init__(self, tokenizer_target="text", downsampler=None):
+        self.c = _StubComponents(_StubUNet(tokenizer_target, downsampler))
         self.last_kwargs = None
 
     def generate(self, ids, uc_ids, grounding, **kw):
@@ -34,8 +36,17 @@ class _StubPipeline:
         return np.full((b, 16, 16, 3), 0.5, np.float32)
 
 
-def _session():
-    return ServingSession(_StubPipeline(), HashTokenizer())
+def _session(tokenizer_target="text", downsampler=None):
+    return ServingSession(_StubPipeline(tokenizer_target, downsampler), HashTokenizer())
+
+
+def _b64_png(arr_or_size, mode="RGB"):
+    buf = io.BytesIO()
+    if isinstance(arr_or_size, tuple):
+        Image.new(mode, arr_or_size).save(buf, "PNG")
+    else:
+        Image.fromarray(arr_or_size, mode).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
 
 
 def test_instruction_to_grounding_text_mode():
@@ -105,6 +116,107 @@ def test_http_generate_roundtrip():
             assert json.load(r)["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_actual_mask_user_drawn_inpaint():
+    """POST a drawn sketch as actual_mask: the pipeline must receive a
+    latent keep-mask that is 0 exactly where the sketch was drawn
+    (demo/app.py:276-281 / task_grounded_generation.py:219-233)."""
+    session = _session()
+    sketch = np.zeros((128, 128), np.uint8)
+    sketch[32:64, :] = 255  # user paints the second row-quarter
+    inst = {
+        "prompt": "a corgi",
+        "phrases": ["corgi"],
+        "locations": [[0.1, 0.1, 0.5, 0.5]],
+        "task": "inpainting",
+        "input_image": _b64_png((128, 128)),
+        "actual_mask": _b64_png(sketch, mode="L"),
+        "batch_size": 2,
+    }
+    out = session.generate(inst)
+    assert len(out["images"]) == 2
+    mask = session.pipe.last_kwargs["inpaint_mask"]
+    assert mask.shape == (2, 64, 64, 1)
+    # drawn region (rows 16:32 at latent scale) masked out; rest kept
+    assert mask[0, 16:32, :, 0].max() == 0.0
+    assert mask[0, :16, :, 0].min() == 1.0
+    assert mask[0, 32:, :, 0].min() == 1.0
+    # input image center-cropped/resized to the 512^2 serving resolution
+    assert session.pipe.last_kwargs["inpaint_image"].shape == (2, 512, 512, 3)
+
+
+def test_keypoint_modality_over_http():
+    session = _session("keypoint")
+    server = make_server(session, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        inst = {
+            "prompt": "two people",
+            "keypoints": [[[0.5, 0.2]] * 17, [[0.1, 0.8]] * 17],
+            "batch_size": 1,
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", json.dumps(inst).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert len(out["images"]) == 1
+        g = session.pipe.last_kwargs["grounding"]
+        assert g["points"].shape == (1, 8 * 17, 2)
+        assert g["masks"][0, : 2 * 17].all() and not g["masks"][0, 2 * 17 :].any()
+    finally:
+        server.shutdown()
+
+
+def test_spatial_modality_over_http():
+    session = _session("hed", downsampler={"target": "hed"})
+    server = make_server(session, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        inst = {"prompt": "a living room", "map_image": _b64_png((64, 64)),
+                "batch_size": 2}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", json.dumps(inst).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert len(out["images"]) == 2
+        g = session.pipe.last_kwargs["grounding"]
+        assert g["hed_edge"].shape == (2, 512, 512, 3)
+        assert g["mask"].tolist() == [1.0, 1.0]
+        assert session.pipe.last_kwargs["grounding_extra"].shape == (2, 512, 512, 3)
+        # missing map_image -> structured 500 with a helpful message
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            json.dumps({"prompt": "x"}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "map_image" in e.read().decode()
+    finally:
+        server.shutdown()
+
+
+def test_sem_modality_one_hot_over_http():
+    session = _session("sem")
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 151, (96, 96), np.uint8)
+    out = session.generate(
+        {"prompt": "a park", "map_image": _b64_png(lab, mode="L"), "batch_size": 1}
+    )
+    assert len(out["images"]) == 1
+    g = session.pipe.last_kwargs["grounding"]
+    assert g["sem"].shape == (1, 512, 512, 152)
+    np.testing.assert_allclose(g["sem"].sum(-1), 1.0)
 
 
 def test_demo_page_served():
