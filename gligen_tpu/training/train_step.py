@@ -122,7 +122,9 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         train_params=train,
         opt_state=tx.init(train),
-        ema_params=dict(train) if enable_ema else None,
+        # real copies, not aliases: donate_argnums on the step donates the
+        # whole state, and aliased train/ema buffers would be donated twice
+        ema_params=jax.tree.map(jnp.array, train) if enable_ema else None,
     )
     return state, frozen
 
