@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="tiny fast run for verification")
+    ap.add_argument(
+        "--bf16_params", action="store_true",
+        help="cast matrix/conv params to bf16 (halves weight HBM traffic; "
+        "norm scales/biases stay fp32)",
+    )
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.steps, args.repeats = 1, 2, 1
@@ -50,6 +55,10 @@ def main():
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
     comps = GligenComponents.create(dtype=jnp.bfloat16, rng=rng)
+    if args.bf16_params:
+        from gligen_tpu.inference.pipeline import cast_params_bf16
+
+        comps.params = cast_params_bf16(comps.params)
     init_s = time.time() - t0
 
     pipe = GenerationPipeline(comps)

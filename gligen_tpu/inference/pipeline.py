@@ -87,6 +87,19 @@ class GligenComponents:
         return cls(unet, vae, text, schedule, params)
 
 
+def cast_params_bf16(params):
+    """Serving-time weight cast: matrix/conv parameters to bf16 (halving
+    their HBM traffic per UNet call — the params are read 50x per image),
+    keeping 1-D norm scales/biases in fp32 for stable statistics.  MXU
+    accumulation stays fp32 via preferred_element_type."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if (hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32)
+        else x,
+        params,
+    )
+
+
 def _default_grounding_tokens(tok_cfg: Dict[str, Any]) -> int:
     return {"text": 30, "text_image": 30, "keypoint": 8 * 17}.get(tok_cfg["target"], 1)
 

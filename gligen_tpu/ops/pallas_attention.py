@@ -33,6 +33,7 @@ the VAE's single-head spatial attention.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -42,6 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Benchmark-tunable block defaults (docs/kernels.md has the measured sweep:
+# block_q 512 > 256; single-KV fast path +12%; a 128-aligned single block
+# and input-dtype matmuls were both measured SLOWER end to end).
+_DEFAULT_BLOCK_Q = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_Q", 512))
+_DEFAULT_BLOCK_KV = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_KV", 1024))
+_SINGLE_KV_BYTES = int(os.environ.get("GLIGEN_TPU_FLASH_SINGLE_KV_BYTES", 6 * 1024 * 1024))
+
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
 )
@@ -50,10 +58,12 @@ _SEMANTICS = pltpu.CompilerParams(
 # ------------------------------------------------------------ forward
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale):
+                *, scale, seq_axis=2):
     """One (bh, q_block, kv_block) step; scratch carries the online
-    softmax state across the (sequential, innermost) KV axis."""
-    j = pl.program_id(2)
+    softmax state across the (sequential, innermost) KV axis.
+    ``seq_axis``: which grid axis is the sequential KV sweep (2 for the
+    3-D (BH, N, M) layout, 3 for the packed (B, H, N, M) grid)."""
+    j = pl.program_id(seq_axis)
 
     @pl.when(j == 0)
     def _():
@@ -80,7 +90,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
     )
     m_ref[:, 0] = m_new
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(seq_axis) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
         lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
@@ -134,9 +144,9 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
 # ------------------------------------------------------------ backward
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   acc_ref, *, scale):
+                   acc_ref, *, scale, seq_axis=2):
     """dq[i] = scale * sum_j P_ij (dout_i . v_j - delta_i) k_j; KV streamed."""
-    j = pl.program_id(2)
+    j = pl.program_id(seq_axis)
 
     @pl.when(j == 0)
     def _():
@@ -158,17 +168,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(seq_axis) - 1)
     def _():
         dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, db_ref, dk_acc, dv_acc, db_acc, *, scale):
+                    dk_ref, dv_ref, db_ref, dk_acc, dv_acc, db_acc, *, scale,
+                    seq_axis=2):
     """dv[j] = sum_i P_ij dout_i ; dk[j] = sum_i dS_ij (scale * q_i);
     dbias[j] = sum_i dS_ij (bias enters the logit additively);
     Q streamed along the innermost grid axis."""
-    i = pl.program_id(2)
+    i = pl.program_id(seq_axis)
 
     @pl.when(i == 0)
     def _():
@@ -198,7 +209,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     if db_acc is not None:
         db_acc[:] = db_acc[:] + jnp.sum(ds, axis=0)[None, :]
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(i == pl.num_programs(seq_axis) - 1)
     def _():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
@@ -360,8 +371,8 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
-    block_q: int = 512,
-    block_kv: int = 1024,
+    block_q: int = _DEFAULT_BLOCK_Q,
+    block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
 ) -> jax.Array:
     """q: (BH, N, D), k/v: (BH, M, D), bias: optional (BH, 1, M) additive
@@ -378,7 +389,7 @@ def flash_attention(
     # budget, make it one block — no streaming overhead (measured ~4% end
     # to end at 512^2).  Longer sequences stream block_kv at a time.
     m_whole = ((m + 127) // 128) * 128
-    if 2 * m_whole * d_pad * 2 <= 6 * 1024 * 1024:  # k+v, bf16 bytes
+    if 2 * m_whole * d_pad * 2 <= _SINGLE_KV_BYTES:  # k+v, bf16 bytes
         block_kv = m_whole
     block_kv = min(block_kv, m)
     n_pad = ((n + block_q - 1) // block_q) * block_q
@@ -397,6 +408,278 @@ def flash_attention(
     return out[:, :n, :d]
 
 
+# ----------------------------------------------- packed-layout fast path
+#
+# The (B*H, N, D) layout costs a transpose COPY plus a lane PAD of q/k/v
+# (and the inverse on the output) around every kernel call — measured at
+# ~12% of device time end to end.  The packed path instead 128-aligns the
+# heads ONCE via a constant block-diagonal expansion matmul
+# (HC -> H*Cpad, exact: 0/1 entries) and runs the same online-softmax
+# kernel on a 4-D grid (batch, head, q-block, kv-block) directly over the
+# (B, N, H*Cpad) activation layout — no transposes, no activation pads;
+# the inverse contraction folds into one matmul on the way out.
+
+def _pack_matrix(heads: int, c: int, cpad: int, dtype) -> jax.Array:
+    e = jnp.zeros((heads * c, heads * cpad), dtype)
+    rows = jnp.arange(heads * c)
+    cols = (rows // c) * cpad + (rows % c)
+    return e.at[rows, cols].set(1)
+
+
+def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    b, n_pad, e_dim = qe.shape
+    m_pad = ke.shape[1]
+    cpad = e_dim // heads
+    in_specs = [
+        pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),
+    ]
+    args = [qe, ke, ve]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h, i, j: (b_, 0, j), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+        kernel = functools.partial(_fwd_kernel, scale=scale, seq_axis=3)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, lse, mm, ll, aa, **kw: _fwd_kernel(
+                qr, kr, vr, None, o, lse, mm, ll, aa, **kw
+            ),
+            scale=scale,
+            seq_axis=3,
+        )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, heads, n_pad // block_q, m_pad // block_kv),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
+            # Mosaic wants second-minor block dims divisible by 8 or equal
+            # to the array dim: flatten (b, h) so that dim is exactly 1.
+            pl.BlockSpec((1, 1, block_q), lambda b_, h, i, j: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, e_dim), qe.dtype),
+            jax.ShapeDtypeStruct((b * heads, 1, n_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, cpad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    out, _ = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+    return out
+
+
+def _flash_packed_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    out, lse = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+    return out, (qe, ke, ve, bias, out, lse)
+
+
+def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res, do):
+    qe, ke, ve, bias, out, lse = res
+    b, n_pad, e_dim = qe.shape
+    m_pad = ke.shape[1]
+    cpad = e_dim // heads
+    # delta rows per (b, h): sum over that head's lane block only.  Padded
+    # lanes of `out` are zero, so summing the full head block is exact.
+    delta = jnp.sum(
+        do.astype(jnp.float32).reshape(b, n_pad, heads, cpad)
+        * out.astype(jnp.float32).reshape(b, n_pad, heads, cpad),
+        axis=-1,
+    ).transpose(0, 2, 1).reshape(b * heads, 1, n_pad)
+
+    has_bias = bias is not None
+    bias_args = [bias] if has_bias else []
+
+    while block_q % 2 == 0 and block_q > 128 and block_q * block_kv * 4 > 3 * 1024 * 1024:
+        block_q //= 2
+
+    def dq_kernel_wrap(*refs):
+        if has_bias:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r, acc = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dq_r, acc = refs
+            b_r = None
+        _bwd_dq_kernel(q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dq_r, acc,
+                       scale=scale, seq_axis=3)
+
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h, i, j: (b_, 0, j), memory_space=pltpu.VMEM)
+        )
+    dq_in_specs += [
+        pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b_, h, i, j: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b_, h, i, j: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        dq_kernel_wrap,
+        grid=(b, heads, n_pad // block_q, m_pad // block_kv),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(qe.shape, qe.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, cpad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(qe, ke, ve, *bias_args, do, lse, delta)
+
+    def dkv_kernel_wrap(*refs):
+        if has_bias:
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, db_r, dka, dva, dba = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r, dka, dva = refs
+            b_r = db_r = dba = None
+        _bwd_dkv_kernel(
+            q_r, k_r, v_r, b_r, do_r, lse_r, dl_r, dk_r, dv_r, db_r, dka, dva, dba,
+            scale=scale, seq_axis=3,
+        )
+
+    dkv_in_specs = [
+        pl.BlockSpec((1, block_q, cpad), lambda b_, h, j, i: (b_, i, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, j, i: (b_, j, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, j, i: (b_, j, h), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h, j, i: (b_, 0, j), memory_space=pltpu.VMEM)
+        )
+    dkv_in_specs += [
+        pl.BlockSpec((1, block_q, cpad), lambda b_, h, j, i: (b_, i, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b_, h, j, i: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b_, h, j, i: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+    ]
+    dkv_out_specs = [
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, j, i: (b_, j, h), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, cpad), lambda b_, h, j, i: (b_, j, h), memory_space=pltpu.VMEM),
+    ]
+    dkv_out_shapes = [
+        jax.ShapeDtypeStruct(ke.shape, ke.dtype),
+        jax.ShapeDtypeStruct(ve.shape, ve.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((block_kv, cpad), jnp.float32),
+        pltpu.VMEM((block_kv, cpad), jnp.float32),
+    ]
+    if has_bias:
+        # per-head partials; summed over heads below (bias is shared)
+        dkv_out_specs.append(
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h, j, i: (b_ * heads + h, 0, j), memory_space=pltpu.VMEM)
+        )
+        dkv_out_shapes.append(jax.ShapeDtypeStruct((b * heads, 1, m_pad), jnp.float32))
+        dkv_scratch.append(pltpu.VMEM((1, block_kv), jnp.float32))
+    outs = pl.pallas_call(
+        dkv_kernel_wrap,
+        grid=(b, heads, m_pad // block_kv, n_pad // block_q),
+        in_specs=dkv_in_specs,
+        out_specs=tuple(dkv_out_specs),
+        out_shape=tuple(dkv_out_shapes),
+        scratch_shapes=dkv_scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(qe, ke, ve, *bias_args, do, lse, delta)
+
+    if has_bias:
+        dk, dv, dbias_h = outs
+        dbias = jnp.sum(
+            dbias_h.reshape(b, heads, m_pad), axis=1, keepdims=True
+        ).astype(bias.dtype)
+    else:
+        dk, dv = outs
+        dbias = None
+    return dq, dk, dv, dbias
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    key_mask: Optional[jax.Array] = None,
+    block_q: int = _DEFAULT_BLOCK_Q,
+    block_kv: int = _DEFAULT_BLOCK_KV,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head flash attention over the PACKED layout.
+
+    q: (B, N, H*C), k/v: (B, M, H*C), key_mask: (B, M) bool.
+    Returns (B, N, H*C).  Heads are 128-aligned once via an exact
+    block-diagonal expansion matmul; no transposes or activation pads."""
+    b, n, hc = q.shape
+    m = k.shape[1]
+    c = hc // heads
+    scale = c**-0.5
+    cpad = max(128, ((c + 127) // 128) * 128)
+
+    block_q = min(block_q, max(8, n))
+    m_whole = ((m + 127) // 128) * 128
+    if 2 * m_whole * cpad * 2 <= _SINGLE_KV_BYTES:
+        block_kv = m_whole
+    block_kv = min(block_kv, m)
+    n_pad = ((n + block_q - 1) // block_q) * block_q
+    m_pad = ((m + block_kv - 1) // block_kv) * block_kv
+
+    if cpad == c:
+        qe, ke, ve = q, k, v
+        expand = None
+    else:
+        expand = _pack_matrix(heads, c, cpad, q.dtype)
+        qe = q @ expand
+        ke = k @ expand
+        ve = v @ expand
+    qe = _pad_to(qe, n_pad, 1)
+    ke = _pad_to(ke, m_pad, 1)
+    ve = _pad_to(ve, m_pad, 1)
+
+    bias = None
+    if key_mask is not None:
+        bias = jnp.where(key_mask[:, None, :], 0.0, NEG_INF).astype(jnp.float32)
+    if m_pad != m:
+        pad_bias = jnp.full((1, 1, m_pad), NEG_INF, jnp.float32).at[:, :, :m].set(0.0)
+        bias = pad_bias if bias is None else _pad_to(bias, m_pad, 2) + pad_bias
+    if bias is not None:
+        bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, m_pad))
+
+    out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+    out = out[:, :n, :]
+    if expand is not None:
+        out = out @ expand.T  # exact inverse: E rows are orthonormal 0/1
+    return out
+
+
+# Measured on v5e: the packed path is ~3% SLOWER end to end than the
+# (B*H, N, D) layout — XLA already fuses the pad+transpose around the 3-D
+# kernel into single copies, and the expansion matmuls don't pay for
+# themselves.  Kept as an opt-in for future shapes (e.g. very long KV).
+_PACKED = os.environ.get("GLIGEN_TPU_FLASH_PACKED", "0") == "1"
+
+
 def mha_flash(
     q: jax.Array, k: jax.Array, v: jax.Array, heads: int,
     key_mask: Optional[jax.Array] = None, interpret: bool = False,
@@ -407,6 +690,9 @@ def mha_flash(
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
+
+    if _PACKED:
+        return flash_attention_packed(q, k, v, heads, key_mask=key_mask, interpret=interpret)
 
     def split(x, length):
         return (

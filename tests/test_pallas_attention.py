@@ -152,3 +152,49 @@ def test_flash_gradients_with_mask():
     gx = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_packed_multiblock_matches_xla():
+    """Packed (B, N, H*C) path with NON-degenerate grids: multiple q-blocks
+    AND streamed kv-blocks (the scratch-lifetime regression case — the
+    sequential axis moved from grid axis 2 to 3 in the packed layout)."""
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+    b, h, n, m, c = 2, 2, 256, 320, 40
+    q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
+    want = multi_head_attention(q, k, v, h, implementation="xla")
+    got = flash_attention_packed(q, k, v, h, block_q=64, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_packed_multiblock_gradients_and_mask():
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+    b, h, n, m, c = 1, 2, 192, 250, 24
+    q, k, v = _rand(b, n, h * c), _rand(b, m, h * c), _rand(b, m, h * c)
+    mask = np.zeros((b, m), bool)
+    mask[0, :190] = True
+    mj = jnp.asarray(mask)
+
+    f = lambda q, k, v: jnp.sum(
+        flash_attention_packed(q, k, v, h, key_mask=mj, block_q=64, block_kv=64,
+                               interpret=True) ** 2
+    )
+    g = lambda q, k, v: jnp.sum(
+        multi_head_attention(q, k, v, h, key_mask=mj, implementation="xla") ** 2
+    )
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_packed_aligned_head_dim_no_expand():
+    """cpad == c (e.g. the VAE's single 512-dim head): no expansion matmul."""
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+    b, h, n, m, c = 1, 1, 64, 64, 128
+    q, k, v = _rand(b, n, c), _rand(b, m, c), _rand(b, m, c)
+    want = multi_head_attention(q, k, v, h, implementation="xla")
+    got = flash_attention_packed(q, k, v, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
