@@ -23,13 +23,14 @@ torch->flax checkpoint converter is a mechanical key map.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gligen_tpu.ops.attention import multi_head_attention
+from gligen_tpu.ops.attention import multi_head_attention, _use_flash
 from gligen_tpu.ops.basic import layer_norm
 from gligen_tpu.ops.interpolate import resize_2d
 
@@ -43,6 +44,96 @@ def _dense(features: int, use_bias: bool = True, name: str | None = None, zero_i
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
     )
+
+
+# ---- prepacked flash attention projections -------------------------------
+#
+# The (B*H, N, D) flash layout costs a transpose copy + lane pad of q/k/v
+# and the inverse on the output around every kernel call, and the forced
+# custom-call layouts propagate backwards into neighboring fusions
+# (profiled: norm-stat and residual-add fusions run ~5x off roofline in
+# context while near-roofline in isolation).  The prepacked path instead
+# zero-pads each head to the 128-lane width inside the PROJECTION WEIGHTS
+# — a tiny (in, H*c) -> (in, H*128) pad that is loop-invariant, so XLA
+# hoists it out of the denoise scan — and runs the packed 4-D-grid kernel
+# directly over the natural (B, N, H*128) activation layout: no transposes,
+# no activation pads, no output slices.
+
+def _prepacked_enabled() -> bool:
+    return os.environ.get("GLIGEN_TPU_FLASH_PREPACKED", "1") == "1"
+
+
+def _interpret() -> bool:
+    # CPU tests route the prepacked path through the Pallas interpreter.
+    return os.environ.get("GLIGEN_TPU_FLASH_INTERPRET", "0") == "1"
+
+
+def _use_prepacked(n: int, m: int) -> bool:
+    return _prepacked_enabled() and _use_flash(n, m, None)
+
+
+def _cpad(c: int) -> int:
+    return max(128, ((c + 127) // 128) * 128)
+
+
+class PackedDense(nn.Module):
+    """nn.Dense whose canonical (in, H*c) kernel is zero-padded per head to
+    (in, H*cpad) at apply time.  Param tree matches nn.Dense exactly, so
+    checkpoints and the torch converter are unaffected."""
+
+    features: int  # canonical H*c
+    heads: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features // self.heads
+        cp = _cpad(c)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
+        )
+        w = kernel.reshape(x.shape[-1], self.heads, c)
+        if cp != c:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c)))
+        w = w.reshape(x.shape[-1], self.heads * cp)
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            b = bias.reshape(self.heads, c)
+            if cp != c:
+                b = jnp.pad(b, ((0, 0), (0, cp - c)))
+            y = y + b.reshape(self.heads * cp).astype(self.dtype)
+        return y
+
+
+class PackedDenseOut(nn.Module):
+    """Output projection consuming the packed (B, N, H*cpad) layout: the
+    canonical (H*c, out) kernel gets zero ROWS on each head's padded lanes
+    (those input lanes are exactly zero, so the result is exact)."""
+
+    features: int  # out dim
+    heads: int
+    in_features: int  # canonical H*c
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.in_features // self.heads
+        cp = _cpad(c)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features), jnp.float32
+        )
+        w = kernel.reshape(self.heads, c, self.features)
+        if cp != c:
+            w = jnp.pad(w, ((0, 0), (0, cp - c), (0, 0)))
+        w = w.reshape(self.heads * cp, self.features)
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class Normalize(nn.Module):
@@ -84,6 +175,16 @@ class SelfAttention(nn.Module):
         inner = self.heads * self.dim_head
         out_dim = x.shape[-1]
         kv = x if kv is None else kv
+        if _use_prepacked(x.shape[1], kv.shape[1]):
+            from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+            q = PackedDense(inner, self.heads, use_bias=False, name="to_q", dtype=self.dtype)(x)
+            k = PackedDense(inner, self.heads, use_bias=False, name="to_k", dtype=self.dtype)(kv)
+            v = PackedDense(inner, self.heads, use_bias=False, name="to_v", dtype=self.dtype)(kv)
+            out = flash_attention_packed(
+                q, k, v, self.heads, true_dim=self.dim_head, interpret=_interpret()
+            )
+            return PackedDenseOut(out_dim, self.heads, inner, name="to_out", dtype=self.dtype)(out)
         q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
         k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv)
         v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv)
@@ -102,6 +203,17 @@ class CrossAttention(nn.Module):
     def __call__(self, x, key, value, key_mask: Optional[jax.Array] = None):
         inner = self.heads * self.dim_head
         out_dim = x.shape[-1]
+        if _use_prepacked(x.shape[1], key.shape[1]):
+            from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+            q = PackedDense(inner, self.heads, use_bias=False, name="to_q", dtype=self.dtype)(x)
+            k = PackedDense(inner, self.heads, use_bias=False, name="to_k", dtype=self.dtype)(key)
+            v = PackedDense(inner, self.heads, use_bias=False, name="to_v", dtype=self.dtype)(value)
+            out = flash_attention_packed(
+                q, k, v, self.heads, key_mask=key_mask, true_dim=self.dim_head,
+                interpret=_interpret(),
+            )
+            return PackedDenseOut(out_dim, self.heads, inner, name="to_out", dtype=self.dtype)(out)
         q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
         k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(key)
         v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(value)

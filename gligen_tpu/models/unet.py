@@ -43,16 +43,20 @@ from gligen_tpu.utils.registry import GROUNDING_NETS, DOWNSAMPLERS, MODELS
 
 
 class GroupNorm32(nn.Module):
-    """normalization() (util.py:208-226): 32-group, fp32-stat GroupNorm."""
+    """normalization() (util.py:208-226): 32-group, fp32-stat GroupNorm.
+
+    ``act='silu'`` fuses the SiLU that always follows a ResBlock norm
+    (openaimodel.py:130-141) into the same (Pallas) kernel pass on TPU."""
 
     eps: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, num_groups=32, eps=self.eps)
+        return group_norm(x, scale, bias, num_groups=32, eps=self.eps, act=self.act)
 
 
 def _conv(features: int, kernel: int, name: str, stride: int = 1, zero_init: bool = False, dtype=None):
@@ -78,8 +82,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_layers_0")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_layers_0", act="silu")(x)
         h = _conv(self.out_channels, 3, "in_layers_2", dtype=self.dtype)(h)
 
         emb_out = nn.Dense(
@@ -87,8 +90,7 @@ class ResBlock(nn.Module):
         )(nn.silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
 
-        h = GroupNorm32(name="out_layers_0")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_layers_0", act="silu")(h)
         h = _conv(self.out_channels, 3, "out_layers_3", zero_init=True, dtype=self.dtype)(h)
 
         if in_ch != self.out_channels:
@@ -296,8 +298,7 @@ class UNetModel(nn.Module):
                 block_idx += 1
 
         # ---- out head (openaimodel.py:391-395) ----
-        h = GroupNorm32(name="out_0")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_0", act="silu")(h)
         h = _conv(self.out_channels, 3, "out_2", zero_init=True, dtype=self.dtype)(h)
         return h.astype(jnp.float32)
 

@@ -25,14 +25,17 @@ from gligen_tpu.ops.basic import avg_pool_2x, group_norm, nearest_upsample_2x
 
 
 class Normalize(nn.Module):
-    """model.py:38-39 GroupNorm(32, eps=1e-6)."""
+    """model.py:38-39 GroupNorm(32, eps=1e-6); ``act='silu'`` fuses the
+    following nonlinearity (model.py:43-45) into the kernel pass."""
+
+    act: str | None = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, num_groups=32, eps=1e-6)
+        return group_norm(x, scale, bias, num_groups=32, eps=1e-6, act=self.act)
 
 
 def _conv(features, kernel, name, stride=1, dtype=None, padding=None):
@@ -53,11 +56,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = Normalize(name="norm1")(x)
-        h = nn.silu(h)
+        h = Normalize(name="norm1", act="silu")(x)
         h = _conv(self.out_channels, 3, "conv1", dtype=self.dtype)(h)
-        h = Normalize(name="norm2")(h)
-        h = nn.silu(h)
+        h = Normalize(name="norm2", act="silu")(h)
         h = _conv(self.out_channels, 3, "conv2", dtype=self.dtype)(h)
         if in_ch != self.out_channels:
             x = _conv(self.out_channels, 1, "nin_shortcut", dtype=self.dtype)(x)
@@ -141,8 +142,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], name="mid_block_1", dtype=self.dtype)(h)
         h = AttnBlock(name="mid_attn_1", dtype=self.dtype)(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2", dtype=self.dtype)(h)
-        h = Normalize(name="norm_out")(h)
-        h = nn.silu(h)
+        h = Normalize(name="norm_out", act="silu")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return _conv(out_ch, 3, "conv_out", dtype=self.dtype)(h)
 
@@ -179,8 +179,7 @@ class Decoder(nn.Module):
             if i_level != 0:
                 h = Upsample(name=f"up_{i_level}_upsample", dtype=self.dtype)(h)
                 curr_res *= 2
-        h = Normalize(name="norm_out")(h)
-        h = nn.silu(h)
+        h = Normalize(name="norm_out", act="silu")(h)
         return _conv(self.out_ch, 3, "conv_out", dtype=self.dtype)(h)
 
 

@@ -625,16 +625,22 @@ def flash_attention_packed(
     block_q: int = _DEFAULT_BLOCK_Q,
     block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
+    true_dim: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head flash attention over the PACKED layout.
 
     q: (B, N, H*C), k/v: (B, M, H*C), key_mask: (B, M) bool.
     Returns (B, N, H*C).  Heads are 128-aligned once via an exact
-    block-diagonal expansion matmul; no transposes or activation pads."""
+    block-diagonal expansion matmul; no transposes or activation pads.
+
+    ``true_dim``: when the caller has ALREADY lane-padded each head (e.g.
+    by zero-padding the projection weights, see layers.PackedDense), C is
+    the padded width and ``true_dim`` is the real head dim that sets the
+    softmax scale; padded lanes are zero and contribute nothing."""
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
-    scale = c**-0.5
+    scale = (true_dim if true_dim is not None else c) ** -0.5
     cpad = max(128, ((c + 127) // 128) * 128)
 
     block_q = min(block_q, max(8, n))

@@ -1,0 +1,147 @@
+"""Capture + summarize a device-side profile of the serving step.
+
+Runs a short PLMS generate under jax.profiler.trace, then aggregates the
+TPU plane's "XLA Ops" events by op category / op name so optimization is
+driven by measured device time, not guesses.
+
+Usage:
+  python tools/profile_serve.py [--batch 4] [--steps 10] [--outdir /tmp/prof]
+  python tools/profile_serve.py --parse-only --outdir /tmp/prof
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(outdir: str, batch: int, steps: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
+
+    comps = GligenComponents.create(dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    pipe = GenerationPipeline(comps)
+    b = batch
+    ids = np.full((b, 77), 49407, np.int32)
+    ids[:, 0] = 49406
+    grounding = {
+        "boxes": np.zeros((b, 30, 4), np.float32),
+        "masks": np.zeros((b, 30), np.float32),
+        "positive_embeddings": np.zeros((b, 30, 768), np.float32),
+    }
+    grounding["boxes"][:, 0] = [0.1, 0.2, 0.5, 0.8]
+    grounding["masks"][:, 0] = 1.0
+
+    def run(seed):
+        img = pipe.generate(
+            ids, ids.copy(), grounding, steps=steps, guidance_scale=7.5,
+            sampler="plms", rng=jax.random.PRNGKey(seed),
+        )
+        jax.block_until_ready(img)
+
+    run(0)  # compile
+    with jax.profiler.trace(outdir):
+        run(1)
+    print(f"trace written to {outdir}")
+
+
+# Map HLO op-name prefixes to readable buckets when no category stat exists.
+_NAME_BUCKETS = [
+    (re.compile(r"^(convolution|conv)"), "convolution"),
+    (re.compile(r"^(dot|gemm)"), "dot"),
+    (re.compile(r"^fusion"), "fusion"),
+    (re.compile(r"^custom-call"), "custom-call"),
+    (re.compile(r"^(copy|transpose|bitcast)"), "copy/transpose"),
+    (re.compile(r"^(all-reduce|all-gather|reduce-scatter|collective)"), "collective"),
+    (re.compile(r"^(dynamic-slice|dynamic-update-slice|slice|concatenate|pad|reshape)"), "data-movement"),
+    (re.compile(r"^(reduce|reduce-window)"), "reduce"),
+]
+
+
+def parse(outdir: str, top: int = 45) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
+
+    xplanes = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True))
+    if not xplanes:
+        print("no xplane found under", outdir)
+        sys.exit(1)
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    tpu = next((p for p in xs.planes if "/device:TPU" in p.name), None)
+    if tpu is None:
+        print("no TPU plane; planes:", [p.name for p in xs.planes])
+        sys.exit(1)
+
+    stat_names = dict(tpu.stat_metadata)  # id -> XStatMetadata
+    meta = dict(tpu.event_metadata)
+
+    def ev_stats(ev):
+        out = {}
+        for s in ev.stats:
+            sm = stat_names.get(s.metadata_id)
+            if sm is None:
+                continue
+            val = (
+                s.str_value or s.int64_value or s.uint64_value or s.double_value
+                or (s.ref_value and stat_names[s.ref_value].name)
+            )
+            out[sm.name] = val
+        return out
+
+    by_name = collections.Counter()
+    by_cat = collections.Counter()
+    calls = collections.Counter()
+    for line in tpu.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            m = meta.get(ev.metadata_id)
+            name = m.name if m else "?"
+            dur = ev.duration_ps / 1e12  # seconds
+            by_name[name] += dur
+            calls[name] += 1
+            stats = ev_stats(ev)
+            cat = stats.get("hlo_category")
+            if not cat:
+                cat = next((b for rx, b in _NAME_BUCKETS if rx.match(name)), "other")
+            by_cat[str(cat)] += dur
+
+    total = sum(by_cat.values())
+    print(f"== device time by category (total {total*1e3:.2f} ms) ==")
+    for cat, t in by_cat.most_common():
+        print(f"  {cat:44s} {t*1e3:9.2f} ms  {100*t/total:5.1f}%")
+    print(f"\n== top {top} ops by total device time ==")
+    for name, t in by_name.most_common(top):
+        print(f"  {t*1e3:9.3f} ms  x{calls[name]:<5d} {name[:110]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--outdir", default="/tmp/prof_serve")
+    ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--top", type=int, default=45)
+    args = ap.parse_args()
+    if not args.parse_only:
+        capture(args.outdir, args.batch, args.steps)
+    parse(args.outdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
