@@ -57,6 +57,30 @@ _SEMANTICS = pltpu.CompilerParams(
 
 # ------------------------------------------------------------ forward
 
+def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
+    """Specialized single-KV-block forward: when the whole (padded) KV fits
+    one block there is no online-softmax state to carry — no scratch
+    init/update passes over the (BQ, M) tile, just softmax + two matmuls.
+    Works for both the (BH, N, D) and packed (B, H, N, D) grids (the KV
+    axis is dropped from the grid entirely)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0, :][None, :]
+    m = jnp.max(s, axis=1)
+    p = jnp.exp(s - m[:, None])
+    l = jnp.sum(p, axis=1)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, :] = m + jnp.log(l)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
                 *, scale, seq_axis=2):
     """One (bh, q_block, kv_block) step; scratch carries the online
@@ -99,6 +123,44 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
+    if m_pad == block_kv:
+        # single KV block: 2-D all-parallel grid, no online-softmax state
+        in_specs = [
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [qp, kp, vp]
+        if bias is not None:
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_kv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(bias)
+            kernel = functools.partial(_fwd_kernel_single, scale=scale)
+        else:
+            kernel = functools.partial(
+                lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
+                    qr, kr, vr, None, o, lse, **kw
+                ),
+                scale=scale,
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=(bh, n_pad // block_q),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, n_pad, d_pad), qp.dtype),
+                jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(*args)
     in_specs = [
         pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -430,6 +492,44 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
     cpad = e_dim // heads
+    if m_pad == block_kv:
+        # single KV block: 3-D all-parallel grid, no online-softmax state
+        in_specs = [
+            pl.BlockSpec((1, block_q, cpad), lambda b_, h, i: (b_, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i: (b_, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i: (b_, 0, h), memory_space=pltpu.VMEM),
+        ]
+        args = [qe, ke, ve]
+        if bias is not None:
+            in_specs.append(
+                pl.BlockSpec((1, 1, block_kv), lambda b_, h, i: (b_, 0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(bias)
+            kernel = functools.partial(_fwd_kernel_single, scale=scale)
+        else:
+            kernel = functools.partial(
+                lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
+                    qr, kr, vr, None, o, lse, **kw
+                ),
+                scale=scale,
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, heads, n_pad // block_q),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, block_q, cpad), lambda b_, h, i: (b_, i, h), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda b_, h, i: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n_pad, e_dim), qe.dtype),
+                jax.ShapeDtypeStruct((b * heads, 1, n_pad), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")
+            ),
+            interpret=interpret,
+        )(*args)
     in_specs = [
         pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),

@@ -217,14 +217,26 @@ def make_train_step(
 
 # ---------------------------------------------------------------- dryrun
 
-def dryrun_train_step(n_devices: int) -> None:
-    """Tiny-config full train step jitted over an n-device ('data',) mesh."""
+def dryrun_train_step(n_devices: int, tp: int = 1, fsdp: bool = False) -> None:
+    """Tiny-config full train step jitted over an n-device mesh.
+
+    tp=1, fsdp=False: 1-D ('data',) mesh — batch sharded, params replicated
+    (the reference's DDP semantics, /root/reference/main.py:56-62).
+    tp>1: 2-D ('data', 'model') mesh — batch over 'data', the UNet's wide
+    dims Megatron-paired over 'model' (parallel/sharding.py rules); GSPMD
+    inserts the per-block psums.
+    fsdp=True: params/optimizer state sharded over 'data' (ZeRO-3 style).
+    """
     from gligen_tpu.models.clip_text import CLIPTextModel
     from gligen_tpu.models.unet import UNetModel
     from gligen_tpu.models.vae import AutoencoderKL
     from gligen_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-    mesh = make_mesh((("data", n_devices),))
+    if tp > 1:
+        assert n_devices % tp == 0, (n_devices, tp)
+        mesh = make_mesh((("data", n_devices // tp), ("model", tp)))
+    else:
+        mesh = make_mesh((("data", n_devices),))
     ctx_dim = 32
     unet = UNetModel(
         in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
@@ -256,14 +268,33 @@ def dryrun_train_step(n_devices: int) -> None:
     }
 
     tx = make_optimizer(base_lr=1e-4, warmup_steps=2, total_steps=10)
-    state, frozen = create_train_state(model_params, tx)
+    mask = trainable_mask(model_params)
+    train, frozen = partition(model_params, mask)
+
+    # Param placement BEFORE tx.init so zeros_like-derived optimizer state
+    # inherits the same shardings.
+    if tp > 1:
+        from gligen_tpu.parallel.sharding import tp_shard_flat
+
+        train = tp_shard_flat(mesh, train)
+        frozen = tp_shard_flat(mesh, frozen)
+        aux_params = replicate(mesh, aux_params)
+    elif fsdp:
+        from gligen_tpu.parallel.sharding import fsdp_shard_flat
+
+        train = fsdp_shard_flat(mesh, train)
+        frozen = fsdp_shard_flat(mesh, frozen)
+        aux_params = replicate(mesh, aux_params)
+    else:
+        train = replicate(mesh, train)
+        frozen = replicate(mesh, frozen)
+        aux_params = replicate(mesh, aux_params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), train_params=train, opt_state=tx.init(train)
+    )
     n_train = sum(x.size for x in state.train_params.values())
     assert n_train > 0
 
-    # replicate params/state, shard batch
-    state = replicate(mesh, state)
-    frozen = replicate(mesh, frozen)
-    aux_params = replicate(mesh, aux_params)
     batch = shard_batch(
         mesh,
         {
