@@ -42,6 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# Kernels work in the log2 domain: folding log2(e) into the (loop-invariant)
+# q scale lets the VPU evaluate exp2 directly — exp(x) lowers to
+# exp2(x*log2e), so the fold removes one multiply per score element
+# (~1.1e9 per 4096-token call).  LSE is carried in log2 units; gradients
+# w.r.t. natural logits are recovered with a 1/log2(e) epilogue on dk.
+LOG2E = 1.4426950408889634
 
 # Benchmark-tunable block defaults (docs/kernels.md has the measured sweep:
 # block_q 512 > 256; single-KV fast path +12%; a 128-aligned single block
@@ -63,22 +69,22 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
     init/update passes over the (BQ, M) tile, just softmax + two matmuls.
     Works for both the (BH, N, D) and packed (B, H, N, D) grids (the KV
     axis is dropped from the grid entirely)."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :][None, :]
+        s = s + bias_ref[0, 0, :][None, :] * LOG2E
     m = jnp.max(s, axis=1)
-    p = jnp.exp(s - m[:, None])
+    p = jnp.exp2(s - m[:, None])
     l = jnp.sum(p, axis=1)
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     o_ref[0] = (o / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0, :] = m + jnp.log(l)
+    lse_ref[0, 0, :] = m + jnp.log2(l)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
@@ -95,19 +101,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)          # (BKV, D)
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)                    # (BKV, D)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :][None, :]
+        s = s + bias_ref[0, 0, :][None, :] * LOG2E
 
     m_prev = m_ref[:, 0]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-    p = jnp.exp(s - m_new[:, None])
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
     l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
     acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,7 +123,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
     @pl.when(j == pl.num_programs(seq_axis) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+        lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log2(l_ref[:, 0])
 
 
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
@@ -214,16 +220,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :]
+    lse = lse_ref[0, 0, :]  # log2 units (matches forward)
     delta = delta_ref[0, 0, :]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :][None, :]
-    p = jnp.exp(s - lse[:, None])
+        s = s + bias_ref[0, 0, :][None, :] * LOG2E
+    p = jnp.exp2(s - lse[:, None])
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta[:, None])
     acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -252,14 +258,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32) * scale
+    # q carries scale*log2e for the score dot; dk divides log2e back out
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :]
+    lse = lse_ref[0, 0, :]  # log2 units
     delta = delta_ref[0, 0, :]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :][None, :]
-    p = jnp.exp(s - lse[:, None])  # (BQ, BKV)
+        s = s + bias_ref[0, 0, :][None, :] * LOG2E
+    p = jnp.exp2(s - lse[:, None])  # (BQ, BKV)
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -273,7 +280,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(i == pl.num_programs(seq_axis) - 1)
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[:] * (1.0 / LOG2E)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
         if db_ref is not None:
             db_ref[0, 0, :] = db_acc[0, :]
