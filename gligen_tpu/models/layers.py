@@ -72,6 +72,26 @@ def _use_prepacked(n: int, m: int) -> bool:
     return _prepacked_enabled() and _use_flash(n, m, None)
 
 
+def _split_proj(x):
+    """Optionally split projection matmuls from their consumers with an
+    optimization barrier.  XLA otherwise output-fuses the next LayerNorm's
+    statistics + a {1,2,0} layout flip INTO the projection dot, which
+    forces a slow conv-style emitter (~6x the matmul's optimal cycle
+    count, per backend_config estimated_cycles).  Barriered, the dot uses
+    the fast emitter and the flip lowers to a cheap standalone copy."""
+    if os.environ.get("GLIGEN_TPU_SPLIT_PROJ", "0") == "1":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
+def _tout_enabled() -> bool:
+    # Transposed kernel output (B, E, N): measured on v5e the transposed
+    # PV dot lowers worse in Mosaic (+0.5-0.8ms per 4096-token call) and
+    # XLA's downstream layout choices don't improve — net loss, so OFF by
+    # default; kept as an ablation knob for future shapes.
+    return os.environ.get("GLIGEN_TPU_FLASH_TOUT", "0") == "1"
+
+
 def _cpad(c: int) -> int:
     return max(128, ((c + 127) // 128) * 128)
 
@@ -110,12 +130,18 @@ class PackedDense(nn.Module):
 class PackedDenseOut(nn.Module):
     """Output projection consuming the packed (B, N, H*cpad) layout: the
     canonical (H*c, out) kernel gets zero ROWS on each head's padded lanes
-    (those input lanes are exactly zero, so the result is exact)."""
+    (those input lanes are exactly zero, so the result is exact).
+
+    ``transposed_in``: input arrives as (B, H*cpad, N) — the flash
+    kernel's transposed-output layout.  The contraction then runs over
+    the input's second-minor axis (the TPU dot's preferred LHS form) and
+    the output is the natural (B, N, out) — no layout-flip copies."""
 
     features: int  # out dim
     heads: int
     in_features: int  # canonical H*c
     use_bias: bool = True
+    transposed_in: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +155,10 @@ class PackedDenseOut(nn.Module):
         if cp != c:
             w = jnp.pad(w, ((0, 0), (0, cp - c), (0, 0)))
         w = w.reshape(self.heads * cp, self.features)
-        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+        if self.transposed_in:
+            y = jnp.einsum("ben,eo->bno", x.astype(self.dtype), w.astype(self.dtype))
+        else:
+            y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
@@ -181,10 +210,15 @@ class SelfAttention(nn.Module):
             q = PackedDense(inner, self.heads, use_bias=False, name="to_q", dtype=self.dtype)(x)
             k = PackedDense(inner, self.heads, use_bias=False, name="to_k", dtype=self.dtype)(kv)
             v = PackedDense(inner, self.heads, use_bias=False, name="to_v", dtype=self.dtype)(kv)
+            t = _tout_enabled()
             out = flash_attention_packed(
-                q, k, v, self.heads, true_dim=self.dim_head, interpret=_interpret()
+                q, k, v, self.heads, true_dim=self.dim_head, interpret=_interpret(),
+                transposed_out=t,
             )
-            return PackedDenseOut(out_dim, self.heads, inner, name="to_out", dtype=self.dtype)(out)
+            return _split_proj(PackedDenseOut(
+                out_dim, self.heads, inner, name="to_out", transposed_in=t,
+                dtype=self.dtype,
+            )(out))
         q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
         k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv)
         v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv)
@@ -209,11 +243,15 @@ class CrossAttention(nn.Module):
             q = PackedDense(inner, self.heads, use_bias=False, name="to_q", dtype=self.dtype)(x)
             k = PackedDense(inner, self.heads, use_bias=False, name="to_k", dtype=self.dtype)(key)
             v = PackedDense(inner, self.heads, use_bias=False, name="to_v", dtype=self.dtype)(value)
+            t = _tout_enabled()
             out = flash_attention_packed(
                 q, k, v, self.heads, key_mask=key_mask, true_dim=self.dim_head,
-                interpret=_interpret(),
+                interpret=_interpret(), transposed_out=t,
             )
-            return PackedDenseOut(out_dim, self.heads, inner, name="to_out", dtype=self.dtype)(out)
+            return _split_proj(PackedDenseOut(
+                out_dim, self.heads, inner, name="to_out", transposed_in=t,
+                dtype=self.dtype,
+            )(out))
         q = _dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
         k = _dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(key)
         v = _dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(value)
@@ -244,7 +282,7 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         h = GEGLU(dim * self.mult, name="net_0", dtype=self.dtype)(x)
-        return _dense(dim, name="net_2", dtype=self.dtype)(h)
+        return _split_proj(_dense(dim, name="net_2", dtype=self.dtype)(h))
 
 
 class GatedSelfAttentionDense(nn.Module):

@@ -55,6 +55,11 @@ LOG2E = 1.4426950408889634
 _DEFAULT_BLOCK_Q = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_Q", 512))
 _DEFAULT_BLOCK_KV = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_KV", 1024))
 _SINGLE_KV_BYTES = int(os.environ.get("GLIGEN_TPU_FLASH_SINGLE_KV_BYTES", 6 * 1024 * 1024))
+# Kernel matmul dtype experiments (forward only; softmax stats stay fp32):
+#   BF16_P: cast probabilities to bf16 for the PV dot.
+#   BF16_QK: pre-scale q in fp32, cast q/k back to bf16 for the score dot.
+_BF16_P = os.environ.get("GLIGEN_TPU_FLASH_BF16_P", "0") == "1"
+_BF16_QK = os.environ.get("GLIGEN_TPU_FLASH_BF16_QK", "0") == "1"
 
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
@@ -63,14 +68,28 @@ _SEMANTICS = pltpu.CompilerParams(
 
 # ------------------------------------------------------------ forward
 
-def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
+def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                       t_out=False):
     """Specialized single-KV-block forward: when the whole (padded) KV fits
     one block there is no online-softmax state to carry — no scratch
     init/update passes over the (BQ, M) tile, just softmax + two matmuls.
     Works for both the (BH, N, D) and packed (B, H, N, D) grids (the KV
-    axis is dropped from the grid entirely)."""
-    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
-    k = k_ref[0].astype(jnp.float32)
+    axis is dropped from the grid entirely).
+
+    ``t_out``: write the output block TRANSPOSED, (D, BQ) instead of
+    (BQ, D) — the PV dot simply flips its contraction dims, no transpose
+    op.  Lets the caller store attention output as (B, E, N) row-major,
+    which is the sublane-contraction ("K-on-second-minor") operand layout
+    the out-projection matmul wants — killing the HBM transpose XLA
+    otherwise inserts between the custom call and the next dot."""
+    if _BF16_QK:
+        # pre-scale in fp32, cast back: ~0.4% relative logit error, the
+        # MXU runs a guaranteed single bf16 pass
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+        k = k_ref[0]
+    else:
+        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
+        k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -80,10 +99,19 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
     m = jnp.max(s, axis=1)
     p = jnp.exp2(s - m[:, None])
     l = jnp.sum(p, axis=1)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (o / l[:, None]).astype(o_ref.dtype)
+    if _BF16_P:
+        p = p.astype(jnp.bfloat16)
+        v = v_ref[0]
+    if t_out:
+        o = jax.lax.dot_general(  # (D, BQ): contract v dim0 x p dim1
+            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (o / l[None, :]).astype(o_ref.dtype)
+    else:
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (o / l[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0, :] = m + jnp.log2(l)
 
 
@@ -495,7 +523,8 @@ def _pack_matrix(heads: int, c: int, cpad: int, dtype) -> jax.Array:
     return e.at[rows, cols].set(1)
 
 
-def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                     t_out=False):
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
     cpad = e_dim // heads
@@ -512,24 +541,33 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
                 pl.BlockSpec((1, 1, block_kv), lambda b_, h, i: (b_, 0, 0), memory_space=pltpu.VMEM)
             )
             args.append(bias)
-            kernel = functools.partial(_fwd_kernel_single, scale=scale)
+            kernel = functools.partial(_fwd_kernel_single, scale=scale, t_out=t_out)
         else:
             kernel = functools.partial(
                 lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
                     qr, kr, vr, None, o, lse, **kw
                 ),
                 scale=scale,
+                t_out=t_out,
             )
+        if t_out:
+            # output stored (B, E, N): sublane-contraction operand layout
+            # for the downstream out-projection dot (no HBM transpose).
+            o_spec = pl.BlockSpec((1, cpad, block_q), lambda b_, h, i: (b_, h, i), memory_space=pltpu.VMEM)
+            o_shape = jax.ShapeDtypeStruct((b, e_dim, n_pad), qe.dtype)
+        else:
+            o_spec = pl.BlockSpec((1, block_q, cpad), lambda b_, h, i: (b_, i, h), memory_space=pltpu.VMEM)
+            o_shape = jax.ShapeDtypeStruct((b, n_pad, e_dim), qe.dtype)
         return pl.pallas_call(
             kernel,
             grid=(b, heads, n_pad // block_q),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, block_q, cpad), lambda b_, h, i: (b_, i, h), memory_space=pltpu.VMEM),
+                o_spec,
                 pl.BlockSpec((1, 1, block_q), lambda b_, h, i: (b_ * heads + h, 0, i), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, n_pad, e_dim), qe.dtype),
+                o_shape,
                 jax.ShapeDtypeStruct((b * heads, 1, n_pad), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -537,6 +575,7 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
             ),
             interpret=interpret,
         )(*args)
+    assert not t_out, "transposed output requires the single-KV fast path"
     in_specs = [
         pl.BlockSpec((1, block_q, cpad), lambda b_, h, i, j: (b_, i, h), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_kv, cpad), lambda b_, h, i, j: (b_, j, h), memory_space=pltpu.VMEM),
@@ -593,6 +632,31 @@ def _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
 def _flash_packed_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
     out, lse = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
     return out, (qe, ke, ve, bias, out, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    out, _ = _packed_fwd_impl(
+        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, t_out=True
+    )
+    return out
+
+
+def _flash_packed_t_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    out, lse = _packed_fwd_impl(
+        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, t_out=True
+    )
+    return out, (qe, ke, ve, bias, out, lse)
+
+
+def _flash_packed_t_bwd(heads, scale, block_q, block_kv, interpret, res, do):
+    # Reuse the (B, N, E)-layout backward kernels: transpose the stored
+    # output and cotangent once (training-only cost; serving never
+    # differentiates through this path).
+    qe, ke, ve, bias, out_t, lse = res
+    res2 = (qe, ke, ve, bias, out_t.transpose(0, 2, 1), lse)
+    return _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res2,
+                             do.transpose(0, 2, 1))
 
 
 def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res, do):
@@ -721,6 +785,7 @@ def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res, do):
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+_flash_packed_t.defvjp(_flash_packed_t_fwd, _flash_packed_t_bwd)
 
 
 def flash_attention_packed(
@@ -733,6 +798,7 @@ def flash_attention_packed(
     block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
     true_dim: Optional[int] = None,
+    transposed_out: bool = False,
 ) -> jax.Array:
     """Multi-head flash attention over the PACKED layout.
 
@@ -743,7 +809,14 @@ def flash_attention_packed(
     ``true_dim``: when the caller has ALREADY lane-padded each head (e.g.
     by zero-padding the projection weights, see layers.PackedDense), C is
     the padded width and ``true_dim`` is the real head dim that sets the
-    softmax scale; padded lanes are zero and contribute nothing."""
+    softmax scale; padded lanes are zero and contribute nothing.
+
+    ``transposed_out``: return (B, H*C, N) instead — the kernel's PV dot
+    emits transposed blocks directly (single-KV fast path only; falls
+    back to the normal layout + an explicit transpose otherwise).  The
+    (B, E, N) row-major layout is the out-projection dot's preferred
+    operand form, so no XLA layout-flip copy appears between the custom
+    call and the projection."""
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
@@ -779,11 +852,18 @@ def flash_attention_packed(
     if bias is not None:
         bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, m_pad))
 
+    single_kv = m_pad == block_kv
+    if transposed_out and single_kv:
+        out = _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+        out = out[:, :, :n]  # (B, E, N)
+        if expand is not None:
+            out = jnp.einsum("fe,ben->bfn", expand.T, out)
+        return out
     out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
     out = out[:, :n, :]
     if expand is not None:
         out = out @ expand.T  # exact inverse: E rows are orthonormal 0/1
-    return out
+    return out if not transposed_out else out.transpose(0, 2, 1)
 
 
 # Measured on v5e: the packed path is ~3% SLOWER end to end than the

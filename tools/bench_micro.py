@@ -25,6 +25,11 @@ PEAK_GBS = 819.0
 
 
 def timed_loop(make_body, n, *args):
+    """Times make_body(*args, carry) -> new_carry inside one jitted
+    fori_loop.  The body MUST thread `carry` into its computation (e.g.
+    scale an input by (1 + carry*0)) — otherwise XLA hoists the
+    loop-invariant work out of the loop and you measure only the ~33ms
+    axon dispatch RTT divided by n."""
     import jax
 
     @jax.jit
@@ -79,8 +84,9 @@ def main():
             w = jnp.zeros((C, cout), jnp.bfloat16)
 
             def body(x, w, acc, _cout=cout):
-                y = jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
-                return acc + y[0, 0, 0].astype(jnp.float32)
+                xi = x * (1 + acc * 0).astype(x.dtype)
+                y = jnp.dot(xi, w, preferred_element_type=jnp.bfloat16)
+                return jnp.sum(y).astype(jnp.float32) * 1e-30 + acc
 
             t = timed_loop(body, n, x, w)
             fl = 2 * B * N * C * cout
@@ -94,8 +100,9 @@ def main():
             b = jnp.zeros((k, 4096), jnp.bfloat16)
 
             def body(a, b, acc):
-                y = jnp.dot(a, b, preferred_element_type=jnp.float32)
-                return acc + y[0, 0]
+                ai = a * (1 + acc * 0).astype(a.dtype)
+                y = jnp.dot(ai, b, preferred_element_type=jnp.float32)
+                return jnp.sum(y) * 1e-30 + acc
 
             t = timed_loop(body, n, a, b)
             fl = 2 * 8192 * k * 4096
@@ -106,8 +113,9 @@ def main():
             b = jnp.zeros((4096, m), jnp.bfloat16)
 
             def body(a, b, acc):
-                y = jnp.dot(a, b, preferred_element_type=jnp.float32)
-                return acc + y[0, 0]
+                ai = a * (1 + acc * 0).astype(a.dtype)
+                y = jnp.dot(ai, b, preferred_element_type=jnp.float32)
+                return jnp.sum(y) * 1e-30 + acc
 
             t = timed_loop(body, n, a, b)
             fl = 2 * 8192 * 4096 * m
@@ -123,8 +131,9 @@ def main():
             v = jnp.zeros((bh, m, d), jnp.bfloat16)
 
             def body(q, k, v, acc):
-                o = flash_attention(q, k, v)
-                return acc + o[0, 0, 0].astype(jnp.float32)
+                qi = q * (1 + acc * 0).astype(q.dtype)
+                o = flash_attention(qi, k, v)
+                return jnp.sum(o).astype(jnp.float32) * 1e-30 + acc
 
             t = timed_loop(body, n, q, k, v)
             dpad = max(128, ((d + 127) // 128) * 128)
@@ -138,19 +147,20 @@ def main():
     if want("ln"):
         # LayerNorm statistics over C at ds1 (the convert_reduce_fusion)
         def body(x, acc):
-            xf = x.astype(jnp.float32)
+            xf = (x * (1 + acc * 0).astype(x.dtype)).astype(jnp.float32)
             s = xf.sum(-1)
             s2 = (xf * xf).sum(-1)
-            return acc + s[0, 0] + s2[0, 0]
+            return acc + (s.sum() + s2.sum()) * 1e-30
 
         t = timed_loop(body, n, x)
         report("LN stats (16,4096,320) reduce C", t, 0, B * N * C * 2)
 
         def body2(x, acc):
-            mu = x.astype(jnp.float32).mean(-1, keepdims=True)
-            var = jnp.square(x.astype(jnp.float32) - mu).mean(-1, keepdims=True)
-            y = (x - mu.astype(x.dtype)) * jax.lax.rsqrt(var + 1e-5).astype(x.dtype)
-            return acc + y[0, 0, 0].astype(jnp.float32)
+            xi = x * (1 + acc * 0).astype(x.dtype)
+            mu = xi.astype(jnp.float32).mean(-1, keepdims=True)
+            var = jnp.square(xi.astype(jnp.float32) - mu).mean(-1, keepdims=True)
+            y = (xi - mu.astype(x.dtype)) * jax.lax.rsqrt(var + 1e-5).astype(x.dtype)
+            return acc + jnp.sum(y).astype(jnp.float32) * 1e-30
 
         t = timed_loop(body2, n, x)
         report("LN full normalize (16,4096,320)", t, 0, B * N * C * 2 * 2)
@@ -163,8 +173,9 @@ def main():
         bi = jnp.zeros((C,), jnp.float32)
 
         def body(xi, sc, bi, acc):
-            y = group_norm(xi, sc, bi, num_groups=32, act="silu")
-            return acc + y[0, 0, 0, 0].astype(jnp.float32)
+            x2 = xi * (1 + acc * 0).astype(xi.dtype)
+            y = group_norm(x2, sc, bi, num_groups=32, act="silu")
+            return acc + jnp.sum(y).astype(jnp.float32) * 1e-30
 
         t = timed_loop(body, n, xi, sc, bi)
         report("GroupNorm+SiLU (16,64,64,320)", t, 0, B * 64 * 64 * C * 2 * 2)
@@ -175,12 +186,13 @@ def main():
             w = jnp.zeros((3, 3, cin, cout), jnp.bfloat16)
 
             def body(xi, w, acc):
+                x2 = xi * (1 + acc * 0).astype(xi.dtype)
                 y = jax.lax.conv_general_dilated(
-                    xi, w, (1, 1), "SAME",
+                    x2, w, (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.bfloat16,
                 )
-                return acc + y[0, 0, 0, 0].astype(jnp.float32)
+                return acc + jnp.sum(y).astype(jnp.float32) * 1e-30
 
             t = timed_loop(body, n, xi, w)
             fl = 2 * B * h * h * 9 * cin * cout
@@ -188,8 +200,9 @@ def main():
 
     if want("residual"):
         def body(x, acc):
-            y = x + x * jnp.bfloat16(0.5) + x
-            return acc + y[0, 0, 0].astype(jnp.float32)
+            xi = x * (1 + acc * 0).astype(x.dtype)
+            y = xi + xi * jnp.bfloat16(0.5) + xi
+            return acc + jnp.sum(y).astype(jnp.float32) * 1e-30
 
         t = timed_loop(body, n, x)
         report("elementwise 3-term (16,4096,320)", t, 0, B * N * C * 2 * 2)
