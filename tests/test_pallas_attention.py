@@ -198,3 +198,26 @@ def test_packed_aligned_head_dim_no_expand():
     want = multi_head_attention(q, k, v, h, implementation="xla")
     got = flash_attention_packed(q, k, v, h, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_nomax_softmax_matches_reference_at_large_logits():
+    """The default no-max single-KV softmax (p = exp2(min(s, 80))) must
+    match the reference at logit magnitudes well beyond what trained
+    checkpoints produce (scaled q so natural-unit logits reach ~±30)."""
+    import os
+
+    from gligen_tpu.ops import pallas_attention as pa
+
+    rng = jax.random.PRNGKey(0)
+    bh, n, m, d = 4, 128, 160, 40
+    q = jax.random.normal(rng, (bh, n, d), jnp.float32) * 5.0  # big logits
+    k = jax.random.normal(jax.random.PRNGKey(1), (bh, m, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (bh, m, d), jnp.float32)
+
+    scale = d ** -0.5
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    ref = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    assert os.environ.get("GLIGEN_TPU_FLASH_NOMAX", "1") == "1"
+    out = pa.flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
