@@ -27,7 +27,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    # B=8 is the measured single-chip throughput sweet spot (B=4 -2%,
+    # B=16 plateaus); the CFG pair doubles it to 16 inside the program.
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--smoke", action="store_true", help="tiny fast run for verification")

@@ -130,6 +130,12 @@ def group_norm_rowsum(
 
     n = int(_np.prod(x.shape[1:-1])) * cpg
     xf = x.astype(jnp.float32)
+    if os.environ.get("GLIGEN_TPU_GN_SPLIT_STATS", "0") == "1":
+        # Ablation knob: keep the statistics reduction OUT of the producing
+        # conv's fusion.  Measured on v5e (4 chained ds1 ResBlocks): the
+        # conv+stats output-fusions are NOT pathological — splitting costs
+        # +12% (6.60 -> 7.43 ms) from the extra activation read.  OFF.
+        xf = jax.lax.optimization_barrier(xf)
     red = tuple(range(1, xf.ndim - 1))
     s = xf.sum(axis=red)          # (B, C): one read computes both moments
     s2 = (xf * xf).sum(axis=red)  # (B, C)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ch", type=int, default=320)
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=1,
+                    help="chain N ResBlocks: exposes the cross-block conv+GN-stats output fusion")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,18 @@ def main():
     from gligen_tpu.models.unet import ResBlock
 
     B, H, C = args.batch, args.hw, args.ch
-    rb = ResBlock(out_channels=C, dtype=jnp.bfloat16)
+    import flax.linen as nn
+
+    class Chain(nn.Module):
+        n: int
+
+        @nn.compact
+        def __call__(self, x, emb):
+            for i in range(self.n):
+                x = ResBlock(out_channels=C, dtype=jnp.bfloat16, name=f"rb{i}")(x, emb)
+            return x
+
+    rb = Chain(args.blocks)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (B, H, H, C), jnp.bfloat16)
     emb = jax.random.normal(rng, (B, 1280), jnp.bfloat16)
@@ -68,10 +81,11 @@ def main():
         np.asarray(run(params, x, emb))
         best = min(best, time.time() - t0)
     per = (best - 0.033) / n
-    # 2 conv3x3 C->C + 1x1 emb proj
-    fl = 2 * 2 * B * H * H * 9 * C * C
-    print(f"resblock: {per*1e3:.3f} ms  ({fl/per/1e12:.1f} TF/s conv-only est, "
-          f"fused_norm={os.environ.get('GLIGEN_TPU_FUSED_NORM', 'gn')})")
+    # 2 conv3x3 C->C + 1x1 emb proj per block
+    fl = args.blocks * 2 * 2 * B * H * H * 9 * C * C
+    print(f"resblock x{args.blocks}: {per*1e3:.3f} ms  ({fl/per/1e12:.1f} TF/s conv-only est, "
+          f"fused_norm={os.environ.get('GLIGEN_TPU_FUSED_NORM', 'gn')}, "
+          f"split_stats={os.environ.get('GLIGEN_TPU_GN_SPLIT_STATS', '0')})")
 
     if args.profile:
         with jax.profiler.trace(args.outdir):
