@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DEFAULT_BLOCK_N = int(os.environ.get("GLIGEN_TPU_FUSED_PROJ_BLOCK_N", 512))
+# 1024 measured ~1% faster than 512 on the ds1 block (fewer grid steps,
+# weights stay resident either way); VMEM peak stays well under the limit.
+_DEFAULT_BLOCK_N = int(os.environ.get("GLIGEN_TPU_FUSED_PROJ_BLOCK_N", 1024))
 # Weights + activation blocks can exceed Mosaic's default scoped-VMEM
 # budget at the 1280-channel tower; v5e has 128MB VMEM.
 _VMEM_LIMIT = int(os.environ.get("GLIGEN_TPU_FUSED_PROJ_VMEM", 100 * 1024 * 1024))
