@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--alpha", default="0.3,0.0,0.7",
+        help="fuser alpha schedule stages, matching the reference demo's "
+        "default generation meta (gligen_inference.py:467-477: alpha_type "
+        "[0.3, 0.0, 0.7] — gate 1 for 30%% of steps, then 0). 'none' keeps "
+        "the gate at 1 for every step.",
+    )
     ap.add_argument("--smoke", action="store_true", help="tiny fast run for verification")
     ap.add_argument(
         "--bf16_params", action="store_true",
@@ -76,10 +83,16 @@ def main():
     grounding["boxes"][:, 0] = [0.1, 0.2, 0.5, 0.8]
     grounding["masks"][:, 0] = 1.0
 
+    alpha_stages = (
+        None if args.alpha == "none"
+        else [float(v) for v in args.alpha.split(",")]
+    )
+
     def run(seed):
         img = pipe.generate(
             ids, uc_ids, grounding,
             steps=args.steps, guidance_scale=7.5, sampler="plms",
+            alpha_stages=alpha_stages,
             rng=jax.random.PRNGKey(seed),
         )
         jax.block_until_ready(img)

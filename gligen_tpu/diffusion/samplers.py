@@ -117,6 +117,14 @@ def _blend(x, i, tables_ts, schedule, mask, x0, noise_fn):
     return img_orig * mask + (1.0 - mask) * x
 
 
+def _gate_zero_from(tables: SamplerTables) -> int:
+    """First step index from which the fuser gate is 0 for ALL remaining
+    steps (== steps when the gate never reaches a zero tail)."""
+    gate = np.asarray(tables.gate)
+    nz = np.nonzero(gate != 0.0)[0]
+    return int(nz[-1]) + 1 if nz.size else 0
+
+
 def plms_sample(
     eps_fn: EpsFn,
     schedule: DiffusionSchedule,
@@ -127,17 +135,27 @@ def plms_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     blend_rng: Optional[jax.Array] = None,
+    eps_fn_gate0: Optional[EpsFn] = None,
 ) -> jax.Array:
     """PLMS sampling (plms.py:66-162). Returns the final latent.
 
     x_init: (B, H, W, C) starting noise.  mask/x0 enable inpainting; the
     per-step q_sample noise uses blend_rng (the reference draws fresh
     torch noise each step).
+
+    ``eps_fn_gate0``: optional cheaper model for the gate==0 tail of the
+    alpha schedule (a statically fuser-free UNet — exact, since gated
+    fusers are the identity at gate 0).  With the reference's default
+    generation schedule [0.3, 0, 0.7] this skips the gated-attention
+    compute for 70% of the steps; the reference computes it and
+    multiplies by zero (plms.py:86-89).  When given, the scan splits into
+    a gated phase and a fuser-free phase at the (static) gate-zero index.
     """
     tables = SamplerTables.create(
         schedule, steps, eta=0.0, alpha_stages=alpha_stages,
         first_conv_restorable=first_conv_restorable,
     )
+    k0 = _gate_zero_from(tables) if eps_fn_gate0 is not None else steps
     ts = jnp.asarray(tables.ts)
     ts_next = jnp.asarray(tables.ts_next)
     a_t = jnp.asarray(tables.a_t)
@@ -156,9 +174,9 @@ def plms_sample(
     else:
         maybe_blend = lambda x, i: x
 
-    def model(x, i, t_table):
+    def model_with(fn, x, i, t_table):
         t_full = jnp.full((b,), t_table[i], jnp.int32)
-        return eps_fn(x, t_full, gate[i], use_sd[i])
+        return fn(x, t_full, gate[i], use_sd[i])
 
     def step_update(x, e_prime, i, noise=0.0):
         x_prev, _ = _x_prev_and_pred_x0(
@@ -167,29 +185,38 @@ def plms_sample(
         return x_prev
 
     # ---- peeled step 0: pseudo improved Euler (Heun) bootstrap ----
+    fn0 = eps_fn if k0 > 0 else eps_fn_gate0
     x = maybe_blend(x_init.astype(jnp.float32), 0)
-    e_t = model(x, 0, ts)
+    e_t = model_with(fn0, x, 0, ts)
     x_mid = step_update(x, e_t, 0)
-    e_next = model(x_mid, 0, ts_next)
+    e_next = model_with(fn0, x_mid, 0, ts_next)
     x = step_update(x, (e_t + e_next) / 2.0, 0)
     # history: most recent first
     hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
 
     coeffs = jnp.asarray(_AB_COEFFS)
 
-    def body(carry, i):
-        x, hist = carry
-        x = maybe_blend(x, i)
-        e_t = model(x, i, ts)
-        order = jnp.minimum(i, 3)
-        c = coeffs[order]
-        e_prime = c[0] * e_t + c[1] * hist[0] + c[2] * hist[1] + c[3] * hist[2]
-        x = step_update(x, e_prime, i)
-        hist = jnp.stack([e_t, hist[0], hist[1]])
-        return (x, hist), None
+    def make_body(fn):
+        def body(carry, i):
+            x, hist = carry
+            x = maybe_blend(x, i)
+            e_t = model_with(fn, x, i, ts)
+            order = jnp.minimum(i, 3)
+            c = coeffs[order]
+            e_prime = c[0] * e_t + c[1] * hist[0] + c[2] * hist[1] + c[3] * hist[2]
+            x = step_update(x, e_prime, i)
+            hist = jnp.stack([e_t, hist[0], hist[1]])
+            return (x, hist), None
 
-    (x, _), _ = jax.lax.scan(body, (x, hist), jnp.arange(1, steps))
-    return x
+        return body
+
+    carry = (x, hist)
+    split = max(k0, 1)  # step 0 is peeled above
+    if split > 1:
+        carry, _ = jax.lax.scan(make_body(eps_fn), carry, jnp.arange(1, split))
+    if split < steps:
+        carry, _ = jax.lax.scan(make_body(eps_fn_gate0), carry, jnp.arange(split, steps))
+    return carry[0]
 
 
 def ddim_sample(
@@ -203,12 +230,16 @@ def ddim_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
+    eps_fn_gate0: Optional[EpsFn] = None,
 ) -> jax.Array:
-    """DDIM sampling (ddim.py:65-134). rng required when eta > 0 or mask given."""
+    """DDIM sampling (ddim.py:65-134). rng required when eta > 0 or mask
+    given.  ``eps_fn_gate0``: see plms_sample — fuser-free model for the
+    gate==0 tail, split at a static step index."""
     tables = SamplerTables.create(
         schedule, steps, eta=eta, alpha_stages=alpha_stages,
         first_conv_restorable=first_conv_restorable,
     )
+    k0 = _gate_zero_from(tables) if eps_fn_gate0 is not None else steps
     ts = jnp.asarray(tables.ts)
     a_t = jnp.asarray(tables.a_t)
     a_prev = jnp.asarray(tables.a_prev)
@@ -237,14 +268,21 @@ def ddim_sample(
     else:
         sig_noise = lambda i: 0.0
 
-    def body(x, i):
-        x = maybe_blend(x, i)
-        t_full = jnp.full((b,), ts[i], jnp.int32)
-        e_t = eps_fn(x, t_full, gate[i], use_sd[i])
-        x_prev, _ = _x_prev_and_pred_x0(
-            x, e_t, a_t[i], a_prev[i], som[i], sig[i], sig_noise(i)
-        )
-        return x_prev, None
+    def make_body(fn):
+        def body(x, i):
+            x = maybe_blend(x, i)
+            t_full = jnp.full((b,), ts[i], jnp.int32)
+            e_t = fn(x, t_full, gate[i], use_sd[i])
+            x_prev, _ = _x_prev_and_pred_x0(
+                x, e_t, a_t[i], a_prev[i], som[i], sig[i], sig_noise(i)
+            )
+            return x_prev, None
 
-    x, _ = jax.lax.scan(body, x_init.astype(jnp.float32), jnp.arange(steps))
+        return body
+
+    x = x_init.astype(jnp.float32)
+    if k0 > 0:
+        x, _ = jax.lax.scan(make_body(eps_fn), x, jnp.arange(k0))
+    if k0 < steps:
+        x, _ = jax.lax.scan(make_body(eps_fn_gate0), x, jnp.arange(k0, steps))
     return x

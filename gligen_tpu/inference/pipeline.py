@@ -270,26 +270,45 @@ class GenerationPipeline:
                     if has_inpaint else None
                 )
 
-                def eps_fn(x, t, gate, use_sd):
-                    x2 = jnp.concatenate([x, x], axis=0)
-                    t2 = jnp.concatenate([t, t], axis=0)
-                    e = c.unet.apply(
-                        {"params": params["model"]}, x2, t2, ctx2,
-                        gate_scale=gate, use_sd_conv=use_sd,
-                        objs=objs2, grounding_extra_features=ds2,
-                        inpainting_extra=ie2,
-                    )
-                    e_c, e_u = jnp.split(e, 2, axis=0)
-                    return e_u + scale * (e_c - e_u)
+                def make_eps_fn(skip):
+                    def eps_fn(x, t, gate, use_sd):
+                        x2 = jnp.concatenate([x, x], axis=0)
+                        t2 = jnp.concatenate([t, t], axis=0)
+                        e = c.unet.apply(
+                            {"params": params["model"]}, x2, t2, ctx2,
+                            gate_scale=gate, use_sd_conv=use_sd,
+                            objs=objs2, grounding_extra_features=ds2,
+                            inpainting_extra=ie2, skip_fusers=skip,
+                        )
+                        e_c, e_u = jnp.split(e, 2, axis=0)
+                        return e_u + scale * (e_c - e_u)
+
+                    return eps_fn
+
+                eps_fn = make_eps_fn(False)
             else:
 
-                def eps_fn(x, t, gate, use_sd):
-                    return c.unet.apply(
-                        {"params": params["model"]}, x, t, context,
-                        gate_scale=gate, use_sd_conv=use_sd,
-                        objs=objs_c, grounding_extra_features=ds_feat,
-                        inpainting_extra=inpaint_extra,
-                    )
+                def make_eps_fn(skip):
+                    def eps_fn(x, t, gate, use_sd):
+                        return c.unet.apply(
+                            {"params": params["model"]}, x, t, context,
+                            gate_scale=gate, use_sd_conv=use_sd,
+                            objs=objs_c, grounding_extra_features=ds_feat,
+                            inpainting_extra=inpaint_extra, skip_fusers=skip,
+                        )
+
+                    return eps_fn
+
+                eps_fn = make_eps_fn(False)
+
+            # gate==0 tail of the alpha schedule: the gated fusers are the
+            # identity — run a statically fuser-free UNet there (exact;
+            # gatedSA2 is excluded since it never gates, layers.py).
+            eps_fn0 = (
+                make_eps_fn(True)
+                if c.unet.fuser_type in ("gatedSA", "gatedCA")
+                else None
+            )
 
             if has_noise:
                 noise = args["noise"]
@@ -303,9 +322,14 @@ class GenerationPipeline:
                 x0=x0,
             )
             if sampler == "plms":
-                z = plms_sample(eps_fn, c.schedule, noise, blend_rng=k_blend if has_inpaint else None, **common)
+                z = plms_sample(
+                    eps_fn, c.schedule, noise,
+                    blend_rng=k_blend if has_inpaint else None,
+                    eps_fn_gate0=eps_fn0, **common,
+                )
             elif sampler == "ddim":
-                z = ddim_sample(eps_fn, c.schedule, noise, rng=k_blend, **common)
+                z = ddim_sample(eps_fn, c.schedule, noise, rng=k_blend,
+                                eps_fn_gate0=eps_fn0, **common)
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
 

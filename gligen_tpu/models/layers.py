@@ -571,16 +571,28 @@ FUSERS = {
 
 
 class BasicTransformerBlock(nn.Module):
-    """attention.py:303-338: selfattn -> fuser -> crossattn -> FF."""
+    """attention.py:303-338: selfattn -> fuser -> crossattn -> FF.
+
+    ``skip_fuser``: statically omit the gated fuser.  EXACT when the
+    sampler's alpha gate is 0 for the step (the fuser's two residual
+    terms are both multiplied by gate*tanh(alpha) == 0, so it is the
+    identity) — the reference still runs the attention and multiplies by
+    zero (plms.py:86-89); the split-phase sampler skips the compute
+    instead.  Only valid for the alpha-scheduled fusers (gatedSA/gatedCA,
+    gligen_inference.py:24-28); gatedSA2 never gates to zero."""
 
     heads: int
     dim_head: int
     fuser_type: str = "gatedSA"
+    skip_fuser: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, objs, gate_scale: jax.Array | float = 1.0):
         assert self.fuser_type in FUSERS, self.fuser_type
+        assert not (self.skip_fuser and self.fuser_type == "gatedSA2"), (
+            "gatedSA2 is not alpha-scheduled and never reduces to identity"
+        )
         dim = x.shape[-1]
         inner = self.heads * self.dim_head
         fused = _fused_proj_ok(x.shape[1])
@@ -597,9 +609,10 @@ class BasicTransformerBlock(nn.Module):
         # (gligen_inference.py:24-28 type check) — gatedSA2 never receives
         # the alpha schedule and keeps its constructor scale of 1.
         fuser_gate = 1.0 if self.fuser_type == "gatedSA2" else gate_scale
-        x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
-            x, objs, fuser_gate
-        )
+        if not self.skip_fuser:
+            x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
+                x, objs, fuser_gate
+            )
         if fused:
             x = _fused_cross_attn(
                 x, context, _LNParams(dim, name="norm2")(),
@@ -622,6 +635,7 @@ class SpatialTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     fuser_type: str = "gatedSA"
+    skip_fuser: bool = False
     use_checkpoint: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -638,6 +652,7 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             x = block_cls(
                 self.heads, self.dim_head, self.fuser_type,
+                skip_fuser=self.skip_fuser,
                 name=f"transformer_blocks_{d}", dtype=self.dtype,
             )(x, context, objs, gate_scale)
         x = x.reshape(b, h, w, -1)

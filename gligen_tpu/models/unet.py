@@ -183,6 +183,7 @@ class UNetModel(nn.Module):
         objs: Optional[jax.Array] = None,
         grounding_extra_features: Optional[jax.Array] = None,
         tokens_only: bool = False,
+        skip_fusers: bool = False,
     ) -> jax.Array:
         """Grounding tokens (``objs``) and downsampler features are pure
         functions of the grounding inputs — loop-invariant across the
@@ -248,6 +249,7 @@ class UNetModel(nn.Module):
                 dim_head=ch // self.num_heads,
                 depth=self.transformer_depth,
                 fuser_type=self.fuser_type,
+                skip_fuser=skip_fusers,
                 use_checkpoint=self.use_checkpoint,
                 name=name,
                 dtype=self.dtype,
