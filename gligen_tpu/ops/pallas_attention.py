@@ -60,7 +60,8 @@ _SINGLE_KV_BYTES = int(os.environ.get("GLIGEN_TPU_FLASH_SINGLE_KV_BYTES", 6 * 10
 #   BF16_QK: pre-scale q in fp32, cast q/k back to bf16 for the score dot.
 _BF16_P = os.environ.get("GLIGEN_TPU_FLASH_BF16_P", "0") == "1"
 _BF16_QK = os.environ.get("GLIGEN_TPU_FLASH_BF16_QK", "0") == "1"
-#   NOMAX (default ON): single-KV path only — skip the max pass and
+#   NOMAX (default ON): both the single-KV fast path and the streamed-KV
+#   long-sequence kernel — skip the max pass and
 #   compute p = exp2(min(s, 80)) directly.  softmax = exp2(s)/sum exp2(s)
 #   is shift-free exact in real arithmetic; in fp32 this matches the
 #   max-shifted form to rounding whenever |log2-domain logits| stay inside
@@ -499,7 +500,7 @@ def flash_attention(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     block_q: int = _DEFAULT_BLOCK_Q,
-    block_kv: int = _DEFAULT_BLOCK_KV,
+    block_kv: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """q: (BH, N, D), k/v: (BH, M, D), bias: optional (BH, 1, M) additive
@@ -515,9 +516,13 @@ def flash_attention(
     # Single-KV-step fast path: when the whole (padded) KV fits the VMEM
     # budget, make it one block — no streaming overhead (measured ~4% end
     # to end at 512^2).  Longer sequences stream block_kv at a time.
+    # An EXPLICIT block_kv disables the override so tests/callers can
+    # force the streaming kernel at short sequence lengths.
     m_whole = ((m + 127) // 128) * 128
-    if 2 * m_whole * d_pad * 2 <= _SINGLE_KV_BYTES:  # k+v, bf16 bytes
-        block_kv = m_whole
+    if block_kv is None:
+        block_kv = _DEFAULT_BLOCK_KV
+        if 2 * m_whole * d_pad * 2 <= _SINGLE_KV_BYTES:  # k+v, bf16 bytes
+            block_kv = m_whole
     block_kv = min(block_kv, m)
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv
@@ -825,7 +830,7 @@ def flash_attention_packed(
     heads: int,
     key_mask: Optional[jax.Array] = None,
     block_q: int = _DEFAULT_BLOCK_Q,
-    block_kv: int = _DEFAULT_BLOCK_KV,
+    block_kv: Optional[int] = None,
     interpret: bool = False,
     true_dim: Optional[int] = None,
     transposed_out: bool = False,
@@ -855,8 +860,10 @@ def flash_attention_packed(
 
     block_q = min(block_q, max(8, n))
     m_whole = ((m + 127) // 128) * 128
-    if 2 * m_whole * cpad * 2 <= _SINGLE_KV_BYTES:
-        block_kv = m_whole
+    if block_kv is None:
+        block_kv = _DEFAULT_BLOCK_KV
+        if 2 * m_whole * cpad * 2 <= _SINGLE_KV_BYTES:
+            block_kv = m_whole
     block_kv = min(block_kv, m)
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv

@@ -80,10 +80,9 @@ def _ln_matmuls_kernel(x_ref, s_ref, b_ref, *rest, n_w, eps):
 
 
 def _ln_matmuls_ref(x, s, b, ws, eps):
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0)
-    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+    from gligen_tpu.ops.basic import layer_norm_xla
+
+    ln = layer_norm_xla(x, s, b, eps=eps)
     return tuple(jnp.dot(ln, w, preferred_element_type=x.dtype) for w in ws)
 
 
@@ -250,10 +249,9 @@ def _ln_geglu_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps, f):
 
 
 def _ln_geglu_ref(x, s, b, w, wb, eps):
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0)
-    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+    from gligen_tpu.ops.basic import layer_norm_xla
+
+    ln = layer_norm_xla(x, s, b, eps=eps)
     hg = jnp.dot(ln, w, preferred_element_type=jnp.float32) + wb
     h, gate = jnp.split(hg, 2, axis=-1)
     return (h * jax.nn.gelu(gate, approximate=False)).astype(x.dtype)

@@ -28,7 +28,7 @@ def fused_env():
     yield
     set_attention_impl("auto")
     os.environ.pop("GLIGEN_TPU_FLASH_INTERPRET", None)
-    os.environ["GLIGEN_TPU_FUSED_PROJ"] = "0"
+    os.environ.pop("GLIGEN_TPU_FUSED_PROJ", None)  # restore default (ON)
 
 
 # ---------------------------------------------------------------- kernels

@@ -221,3 +221,42 @@ def test_nomax_softmax_matches_reference_at_large_logits():
     assert os.environ.get("GLIGEN_TPU_FLASH_NOMAX", "1") == "1"
     out = pa.flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_nomax_streaming_kernel_matches_reference():
+    """Force the streamed-KV kernel (explicit block_kv disables the
+    single-KV override) so the shift-free accumulation across KV blocks
+    is covered — the single-KV fast path otherwise absorbs every
+    short-sequence test."""
+    rng = jax.random.PRNGKey(0)
+    bh, n, m, d = 4, 128, 320, 40
+    q = jax.random.normal(rng, (bh, n, d), jnp.float32) * 3.0
+    k = jax.random.normal(jax.random.PRNGKey(1), (bh, m, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (bh, m, d), jnp.float32)
+
+    scale = d ** -0.5
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    ref = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    from gligen_tpu.ops import pallas_attention as pa
+
+    out = pa.flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    # gradients through the streamed forward (bwd recomputes from lse,
+    # which the shift-free form stores as plain log2(l))
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(
+            pa.flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+        ))
+
+    def loss_ref(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+        return jnp.sum(jnp.square(
+            jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+        ))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4, rtol=5e-4)
