@@ -54,15 +54,157 @@ def _image_to_b64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-class ServingSession:
-    """Owns a warm GenerationPipeline; thread-safe generate()."""
+class _BatchItem:
+    """One request's arrays awaiting a fused pipeline call."""
 
-    def __init__(self, pipeline, tokenizer, feature_extractor=None, default_steps: int = 50):
+    __slots__ = ("ids", "uc_ids", "grounding", "grounding_extra", "noise",
+                 "n", "event", "result", "error")
+
+    def __init__(self, ids, uc_ids, grounding, grounding_extra, noise, n):
+        self.ids, self.uc_ids = ids, uc_ids
+        self.grounding, self.grounding_extra = grounding, grounding_extra
+        self.noise, self.n = noise, n
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for production serving.
+
+    Concurrent /generate requests with identical static configuration
+    (steps, guidance, alpha schedule, sampler, modality) are fused into
+    ONE padded pipeline call: a background worker collects requests for
+    ``window_ms`` after the first arrival, concatenates their batch
+    axes, pads the total to a bucket size (bounding the number of
+    compiled programs), runs the batch, and splits the images back per
+    request.  Per-request seed determinism is preserved by drawing each
+    request's starting noise host-side from its own seed and passing it
+    through the pipeline's explicit ``noise`` argument.
+
+    The reference demo serves one request at a time (demo/app.py); the
+    batched pipeline makes fusing essentially free on TPU — measured
+    B=8 costs ~7.5 s vs ~1.4 s x 8 sequential single-image calls.
+    """
+
+    def __init__(self, pipeline, lock, window_ms: int = 25,
+                 max_images: int = 8, buckets=(1, 2, 4, 8)):
+        self.pipe = pipeline
+        self._lock = lock
+        self.window = window_ms / 1000.0
+        self.max_images = max_images
+        self.buckets = tuple(sorted(buckets))
+        self._cv = threading.Condition()
+        self._pending: Dict[tuple, list] = {}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, sig: tuple, item: _BatchItem, run_kwargs: Dict[str, Any]):
+        with self._cv:
+            self._pending.setdefault((sig, _freeze(run_kwargs)), []).append(item)
+            self._cv.notify()
+        if not item.event.wait(timeout=600):
+            raise TimeoutError("batched generation timed out")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+            time.sleep(self.window)  # collection window after first arrival
+            with self._cv:
+                if not self._pending:
+                    continue
+                key = next(iter(self._pending))
+                items = self._pending.pop(key)
+            (_, frozen_kwargs) = key
+            kwargs = dict(frozen_kwargs)
+            if kwargs.get("alpha_stages") is not None:
+                kwargs["alpha_stages"] = list(kwargs["alpha_stages"])
+            batch, take = [], 0
+            for it in items:
+                if take + it.n > self.max_images and batch:
+                    break
+                batch.append(it)
+                take += it.n
+            leftover = items[len(batch):]
+            if leftover:
+                with self._cv:
+                    self._pending.setdefault(key, []).extend(leftover)
+                    self._cv.notify()
+            try:
+                self._execute(batch, take, kwargs)
+            except Exception as e:  # noqa: BLE001 — routed to each waiter
+                for it in batch:
+                    it.error = e
+                    it.event.set()
+
+    def _execute(self, batch, take, kwargs):
+        bucket = next((b for b in self.buckets if b >= take), None)
+        pad = (bucket - take) if bucket else 0
+
+        def fuse(field):
+            arrs = [getattr(it, field) for it in batch]
+            if arrs[0] is None:
+                return None
+            if isinstance(arrs[0], dict):
+                return {
+                    k: _pad_rows0(np.concatenate([a[k] for a in arrs], 0), pad)
+                    for k in arrs[0]
+                }
+            return _pad_rows0(np.concatenate(arrs, 0), pad)
+
+        import jax
+
+        with self._lock:
+            images = self.pipe.generate(
+                fuse("ids"), fuse("uc_ids"), fuse("grounding"),
+                grounding_extra=fuse("grounding_extra"),
+                noise=fuse("noise"),
+                rng=jax.random.PRNGKey(0),
+                **kwargs,
+            )
+        images = np.asarray(images)
+        off = 0
+        for it in batch:
+            it.result = images[off:off + it.n]
+            off += it.n
+            it.event.set()
+
+
+def _pad_rows0(a: np.ndarray, pad: int) -> np.ndarray:
+    """Pad the batch axis by repeating the last row (sliced off later)."""
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+
+
+def _freeze(d: Dict[str, Any]):
+    return tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()
+    ))
+
+
+class ServingSession:
+    """Owns a warm GenerationPipeline; thread-safe generate().
+
+    ``batch_window_ms`` > 0 enables cross-request micro-batching (see
+    MicroBatcher); inpainting requests always run unbatched."""
+
+    def __init__(self, pipeline, tokenizer, feature_extractor=None,
+                 default_steps: int = 50, batch_window_ms: int = 0):
         self.pipe = pipeline
         self.tokenizer = tokenizer
         self.features = feature_extractor
         self.default_steps = default_steps
         self._lock = threading.Lock()
+        self.batcher = (
+            MicroBatcher(pipeline, self._lock, window_ms=batch_window_ms)
+            if batch_window_ms > 0 else None
+        )
 
     # ---- modality dispatch -------------------------------------------
     def _modality(self) -> str:
@@ -200,17 +342,37 @@ class ServingSession:
                 inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), 64)
 
         t0 = time.time()
-        with self._lock:
-            images = self.pipe.generate(
-                ids, uc_ids, grounding,
-                steps=int(inst.get("steps", self.default_steps)),
-                guidance_scale=float(inst.get("guidance_scale", 7.5)),
-                alpha_stages=inst.get("alpha_type"),
-                grounding_extra=grounding_extra,
-                inpaint_image=inpaint_image,
-                inpaint_mask=inpaint_mask,
-                rng=jax.random.PRNGKey(int(inst.get("seed", 0))),
+        run_kwargs = dict(
+            steps=int(inst.get("steps", self.default_steps)),
+            guidance_scale=float(inst.get("guidance_scale", 7.5)),
+            alpha_stages=inst.get("alpha_type"),
+        )
+        if self.batcher is not None and inpaint_image is None:
+            # Per-request deterministic starting noise, drawn host-side
+            # (numpy Philox) so fused batches keep each request's seed
+            # semantics AND request threads never touch the device — the
+            # only TPU work happens in the batcher worker under the lock.
+            noise = np.random.default_rng(int(inst.get("seed", 0))).standard_normal(
+                (batch, 64, 64, 4), dtype=np.float32
             )
+            item = _BatchItem(
+                np.asarray(ids), np.asarray(uc_ids),
+                {k: np.asarray(v) for k, v in grounding.items()},
+                None if grounding_extra is None else np.asarray(grounding_extra),
+                noise, batch,
+            )
+            sig = (self._modality(),)
+            images = self.batcher.submit(sig, item, run_kwargs)
+        else:
+            with self._lock:
+                images = self.pipe.generate(
+                    ids, uc_ids, grounding,
+                    grounding_extra=grounding_extra,
+                    inpaint_image=inpaint_image,
+                    inpaint_mask=inpaint_mask,
+                    rng=jax.random.PRNGKey(int(inst.get("seed", 0))),
+                    **run_kwargs,
+                )
         images = np.asarray(images)
         return {
             "images": [_image_to_b64(img) for img in images],
@@ -272,6 +434,11 @@ def main(argv=None):
     p.add_argument("--projection_matrix", type=str, default="projection_matrix")
     p.add_argument("--clip_vision_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--batch_window_ms", type=int, default=25,
+        help="cross-request micro-batching window (0 disables); concurrent "
+        "compatible requests fuse into one padded TPU batch",
+    )
     args = p.parse_args(argv)
 
     from gligen_tpu.data.tokenizer import load_tokenizer
@@ -280,7 +447,8 @@ def main(argv=None):
     pipe = build_pipeline(args.ckpt, args)
     tokenizer = load_tokenizer(args.vocab_path)
     pipe.tokenizer = tokenizer
-    session = ServingSession(pipe, tokenizer, FeatureExtractor(pipe))
+    session = ServingSession(pipe, tokenizer, FeatureExtractor(pipe),
+                             batch_window_ms=args.batch_window_ms)
     server = make_server(session, port=args.port)
     print(f"serving on :{args.port}")
     server.serve_forever()

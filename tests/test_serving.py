@@ -231,3 +231,97 @@ def test_demo_page_served():
         assert "grounded generation" in html and "canvas" in html
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------- micro-batching
+
+class _CountingPipeline(_StubPipeline):
+    def __init__(self):
+        super().__init__()
+        self.calls = []
+
+    def generate(self, ids, uc_ids, grounding, **kw):
+        self.calls.append(ids.shape[0])
+        b = ids.shape[0]
+        # fill each image with its batch index so routing is observable
+        out = np.zeros((b, 16, 16, 3), np.float32)
+        out += np.arange(b, dtype=np.float32)[:, None, None, None] / 255.0
+        return out
+
+
+def test_microbatcher_fuses_concurrent_requests():
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=400)
+
+    results = {}
+
+    def worker(name, n, seed):
+        results[name] = session.generate(
+            {"prompt": name, "phrases": ["a cat"],
+             "locations": [[0.1, 0.1, 0.5, 0.5]], "batch_size": n, "seed": seed}
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=("a", 1, 1)),
+        threading.Thread(target=worker, args=("b", 2, 2)),
+        threading.Thread(target=worker, args=("c", 1, 3)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    # all four images ran as ONE fused call (bucket 4, no padding)
+    assert pipe.calls == [4], pipe.calls
+    assert len(results["a"]["images"]) == 1
+    assert len(results["b"]["images"]) == 2
+    assert len(results["c"]["images"]) == 1
+    # routing: decode the marker pixel of each request's first image
+    def marker(b64s):
+        img = np.asarray(Image.open(io.BytesIO(base64.b64decode(b64s))))
+        return int(img[0, 0, 0])
+
+    markers = sorted(
+        [marker(results["a"]["images"][0]), marker(results["b"]["images"][0]),
+         marker(results["c"]["images"][0])]
+    )
+    # requests occupy disjoint batch slots (order depends on arrival)
+    assert len(set(markers)) == 3
+
+
+def test_microbatcher_separates_incompatible_configs():
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=60)
+
+    results = {}
+
+    def worker(name, steps):
+        results[name] = session.generate(
+            {"prompt": name, "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+             "batch_size": 1, "steps": steps}
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=("a", 50)),
+        threading.Thread(target=worker, args=("b", 20)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    # different steps -> separate pipeline calls, each padded to bucket 1
+    assert sorted(pipe.calls) == [1, 1], pipe.calls
+    assert len(results["a"]["images"]) == 1 and len(results["b"]["images"]) == 1
+
+
+def test_microbatcher_pads_to_bucket():
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=60)
+    out = session.generate(
+        {"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+         "batch_size": 3}
+    )
+    # 3 images pad to the 4-bucket; caller still gets exactly 3
+    assert pipe.calls == [4]
+    assert len(out["images"]) == 3
