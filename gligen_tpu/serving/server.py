@@ -15,6 +15,7 @@ TPU serving (no gradio dependency in this image):
         demo/app.py:276-281: nonzero pixels = region to inpaint),
      "keypoints": [[[x,y]*17]...]?  (keypoint-model serving),
      "map_image": b64?  (hed/canny/depth/normal/sem-model serving),
+     "resolution": 512|1024? (output size; latent = resolution/8),
      "seed": int}
   -> {"images": [b64 png, ...], "latency_sec": t}
   GET /health -> {"status": "ok"}
@@ -321,6 +322,9 @@ class ServingSession:
         import jax
 
         batch = int(inst.get("batch_size", 1))
+        resolution = int(inst.get("resolution", 512))
+        assert resolution % 8 == 0, f"resolution {resolution} must be /8"
+        latent = resolution // 8
         grounding, grounding_extra = self._grounding_for_modality(inst, batch)
         ids = self.tokenizer([inst.get("prompt", "")] * batch)
         uc_ids = self.tokenizer([inst.get("negative_prompt", "")] * batch)
@@ -330,22 +334,23 @@ class ServingSession:
             from gligen_tpu.data.inpaint_masks import draw_masks_from_boxes
             from gligen_tpu.inference.cli import crop_and_resize
 
-            img = crop_and_resize(_b64_to_image(inst["input_image"]), 512)
+            img = crop_and_resize(_b64_to_image(inst["input_image"]), resolution)
             arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
             inpaint_image = np.repeat(arr[None], batch, 0)
             if inst.get("actual_mask"):
                 # user-drawn sketch mask (task_grounded_generation.py:219-233)
-                keep = self._decode_actual_mask(inst["actual_mask"])
+                keep = self._decode_actual_mask(inst["actual_mask"], latent_size=latent)
                 inpaint_mask = np.repeat(keep[None], batch, 0)
             else:
                 locs = np.asarray(inst.get("locations", []), np.float32)
-                inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), 64)
+                inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), latent)
 
         t0 = time.time()
         run_kwargs = dict(
             steps=int(inst.get("steps", self.default_steps)),
             guidance_scale=float(inst.get("guidance_scale", 7.5)),
             alpha_stages=inst.get("alpha_type"),
+            latent_size=latent,
         )
         if self.batcher is not None and inpaint_image is None:
             # Per-request deterministic starting noise, drawn host-side
@@ -353,7 +358,7 @@ class ServingSession:
             # semantics AND request threads never touch the device — the
             # only TPU work happens in the batcher worker under the lock.
             noise = np.random.default_rng(int(inst.get("seed", 0))).standard_normal(
-                (batch, 64, 64, 4), dtype=np.float32
+                (batch, latent, latent, 4), dtype=np.float32
             )
             item = _BatchItem(
                 np.asarray(ids), np.asarray(uc_ids),

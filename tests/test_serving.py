@@ -325,3 +325,28 @@ def test_microbatcher_pads_to_bucket():
     # 3 images pad to the 4-bucket; caller still gets exactly 3
     assert pipe.calls == [4]
     assert len(out["images"]) == 3
+
+
+def test_resolution_field_sets_latent_size():
+    pipe = _StubPipeline()
+    session = ServingSession(pipe, HashTokenizer())
+    session.generate(
+        {"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+         "batch_size": 1, "resolution": 1024}
+    )
+    assert pipe.last_kwargs["latent_size"] == 128
+
+    batcher_pipe = _CountingPipeline()
+    s2 = ServingSession(batcher_pipe, HashTokenizer(), batch_window_ms=50)
+
+    class _Catch(_CountingPipeline):
+        def generate(self, ids, uc_ids, grounding, **kw):
+            self.last = kw
+            return super().generate(ids, uc_ids, grounding, **kw)
+
+    p3 = _Catch()
+    s3 = ServingSession(p3, HashTokenizer(), batch_window_ms=50)
+    s3.generate({"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+                 "batch_size": 1, "resolution": 1024})
+    assert p3.last["latent_size"] == 128
+    assert p3.last["noise"].shape == (1, 128, 128, 4)
