@@ -41,6 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--grounding_modality", type=str, default=None,
                    help="override; else inferred from the yaml adapter target")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--seed", type=int, default=123, help="used in sampler (reference main.py:21)")
+    p.add_argument(
+        "--disable_inference_in_training", type=lambda x: x.lower() == "true",
+        default=False,
+        help="skip the periodic PLMS preview grids at checkpoints — faster "
+        "first iters for debugging (reference main.py:47)",
+    )
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
     return p.parse_args(argv)
 
@@ -84,6 +91,8 @@ def main(argv=None):
         ckpt=args.ckpt,
         grounding_modality=args.grounding_modality or modality_from_config(config),
         dtype=args.dtype,
+        seed=args.seed,
+        preview_samples=not args.disable_inference_in_training,
     )
     trainer = Trainer(config, run)
     trainer.start_training()
