@@ -346,10 +346,13 @@ class ServingSession:
                 inpaint_mask = draw_masks_from_boxes(np.repeat(locs[None], batch, 0), latent)
 
         t0 = time.time()
+        # Reference demo defaults (demo/app.py:184,191 with slider tau=0.3):
+        # generation [tau, 0, 1-tau]; inpainting holds the gate at 1.
+        default_alpha = [1.0, 0.0, 0.0] if inpaint_image is not None else [0.3, 0.0, 0.7]
         run_kwargs = dict(
             steps=int(inst.get("steps", self.default_steps)),
             guidance_scale=float(inst.get("guidance_scale", 7.5)),
-            alpha_stages=inst.get("alpha_type"),
+            alpha_stages=inst.get("alpha_type", default_alpha),
             latent_size=latent,
         )
         if self.batcher is not None and inpaint_image is None:
