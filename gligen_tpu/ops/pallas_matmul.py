@@ -49,6 +49,18 @@ _PARAMS = pltpu.CompilerParams(
 )
 
 
+def _pick_block(n: int, want: int, pad_to=None) -> int:
+    """Largest usable row-block: a multiple of 8 (Mosaic second-minor
+    granularity), <= want, and dividing the padded row count when
+    ``pad_to`` is pinned by the caller."""
+    b = max(8, min(want, ((n + 7) // 8) * 8))
+    b = max(8, (b // 8) * 8)
+    if pad_to is not None:
+        while pad_to % b:
+            b -= 8
+    return b
+
+
 def _pad_rows(x, n_pad):
     if x.shape[1] == n_pad:
         return x
@@ -147,10 +159,7 @@ def ln_matmuls(x, scale, bias, ws, eps: float = 1e-5,
     given, in which case outputs keep exactly pad_to rows (zero-LN rows at
     the tail) so a downstream flash-attention call can consume them
     directly with a key mask instead of a slice + re-pad copy pair."""
-    block_n = min(block_n, max(8, x.shape[1]))
-    if pad_to is not None:
-        while pad_to % block_n:
-            block_n //= 2
+    block_n = _pick_block(x.shape[1], block_n, pad_to)
     return _ln_matmuls(x, scale.astype(jnp.float32), bias.astype(jnp.float32),
                        tuple(w.astype(x.dtype) for w in ws), eps, block_n, interpret,
                        pad_to)
@@ -216,7 +225,7 @@ def matmul_residual(h, w, bias, x, gate=None,
 
     h: (B, N, K); w: (K, C); bias: (C,); x: (B, N, C); gate: scalar
     (traced OK; defaults to 1).  Returns (B, N, C) in x.dtype."""
-    block_n = min(block_n, max(8, h.shape[1]))
+    block_n = _pick_block(h.shape[1], block_n)
     g = jnp.ones((), jnp.float32) if gate is None else jnp.asarray(gate, jnp.float32)
     return _matmul_residual(
         h.astype(x.dtype), w.astype(x.dtype), bias.astype(jnp.float32),
@@ -303,7 +312,7 @@ def ln_geglu(x, scale, bias, w, w_bias, eps: float = 1e-5,
     """Fused [LayerNorm -> GEGLU]: a * gelu(g) where [a|g] = LN(x) @ w + b.
 
     x: (B, N, C); w: (C, 2F); w_bias: (2F,).  Returns (B, N, F)."""
-    block_n = min(block_n, max(8, x.shape[1]))
+    block_n = _pick_block(x.shape[1], block_n)
     return _ln_geglu(
         x, scale.astype(jnp.float32), bias.astype(jnp.float32),
         w.astype(x.dtype), w_bias.astype(jnp.float32), eps, block_n, interpret,
