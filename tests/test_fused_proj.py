@@ -182,3 +182,29 @@ def test_block_fused_gradients_match_plain(fused_env):
             np.asarray(flat_f[k]), np.asarray(flat_p[k]), atol=2e-3, rtol=2e-3,
             err_msg=k,
         )
+
+
+def test_fused_block_small_token_count(fused_env):
+    """The middle-block shape (N=64 visual + 30 grounding tokens) — covers
+    _pick_block's multiple-of-8 rounding and pinned-pad_to divisibility
+    (a plain min(block, n) clamp produced a block of 2 here and crashed
+    the Mosaic lowering)."""
+    os.environ["GLIGEN_TPU_FUSED_PROJ_MIN_N"] = "8"
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 160), jnp.float32)
+        objs = jax.random.normal(jax.random.PRNGKey(3), (1, 30, 96), jnp.float32)
+        fuser = GatedSelfAttentionDense(heads=4, dim_head=40)
+        params = fuser.init(jax.random.PRNGKey(0), x, objs)
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, v: jnp.ones_like(v) * 0.5 if "alpha" in jax.tree_util.keystr(p) else v,
+            params,
+        )
+        out_fused = fuser.apply(params, x, objs, 1.0)
+        os.environ["GLIGEN_TPU_FUSED_PROJ"] = "0"
+        out_plain = fuser.apply(params, x, objs, 1.0)
+        os.environ["GLIGEN_TPU_FUSED_PROJ"] = "1"
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_plain), atol=5e-5, rtol=1e-4
+        )
+    finally:
+        os.environ.pop("GLIGEN_TPU_FUSED_PROJ_MIN_N", None)
