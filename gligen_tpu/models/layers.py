@@ -177,14 +177,16 @@ class PackedDenseOut(nn.Module):
 # the exact same param tree as the module path, so checkpoints and the
 # torch converter are unaffected.
 
-def _fused_proj_ok(n: int) -> bool:
-    """Fused projection kernels apply at every attention site by default
-    (measured: all-sites is +0.6% e2e over ds1/ds2-only; the ds4 tower's
-    VMEM-resident weights ~26MB stay under the raised kernel limit).
-    Threshold tunable via GLIGEN_TPU_FUSED_PROJ_MIN_N for ablation."""
+def _fused_proj_ok(n: int, small_n: bool = True) -> bool:
+    """Fused projection kernels: always at the big-token sites (N >= 1024,
+    ds1/ds2); at the small towers only when ``small_n`` is allowed —
+    serving measured +0.6% e2e from all-sites fusion, but TRAINING (remat
+    + the reference-chain backward) measured -3.8%, so SpatialTransformer
+    passes small_n = not use_checkpoint.  Thresholds env-tunable."""
     if os.environ.get("GLIGEN_TPU_FUSED_PROJ", "1") != "1":
         return False
-    if n < int(os.environ.get("GLIGEN_TPU_FUSED_PROJ_MIN_N", 64)):
+    floor = 64 if small_n else 1024
+    if n < int(os.environ.get("GLIGEN_TPU_FUSED_PROJ_MIN_N", floor)):
         return False
     return jax.default_backend() == "tpu" or _interpret()
 
@@ -468,6 +470,7 @@ class GatedSelfAttentionDense(nn.Module):
 
     heads: int
     dim_head: int
+    small_fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -478,7 +481,7 @@ class GatedSelfAttentionDense(nn.Module):
 
         objs_p = _dense(query_dim, name="linear", dtype=self.dtype)(objs)
         inner = self.heads * self.dim_head
-        if _fused_proj_ok(x.shape[1]):
+        if _fused_proj_ok(x.shape[1], self.small_fused):
             cat = jnp.concatenate([x, objs_p.astype(x.dtype)], axis=1)
             g1 = gate_scale * jnp.tanh(alpha_attn)
             x = _fused_self_attn(
@@ -586,6 +589,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     fuser_type: str = "gatedSA"
     skip_fuser: bool = False
+    small_fused: bool = True  # small-N fused projections (inference only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -596,7 +600,7 @@ class BasicTransformerBlock(nn.Module):
         )
         dim = x.shape[-1]
         inner = self.heads * self.dim_head
-        fused = _fused_proj_ok(x.shape[1])
+        fused = _fused_proj_ok(x.shape[1], self.small_fused)
         if fused:
             x = _fused_self_attn(
                 x, x, _LNParams(dim, name="norm1")(),
@@ -611,9 +615,13 @@ class BasicTransformerBlock(nn.Module):
         # the alpha schedule and keeps its constructor scale of 1.
         fuser_gate = 1.0 if self.fuser_type == "gatedSA2" else gate_scale
         if not self.skip_fuser:
-            x = FUSERS[self.fuser_type](self.heads, self.dim_head, name="fuser", dtype=self.dtype)(
-                x, objs, fuser_gate
+            extra = (
+                {"small_fused": self.small_fused}
+                if self.fuser_type == "gatedSA" else {}
             )
+            x = FUSERS[self.fuser_type](
+                self.heads, self.dim_head, name="fuser", dtype=self.dtype, **extra
+            )(x, objs, fuser_gate)
         if fused:
             x = _fused_cross_attn(
                 x, context, _LNParams(dim, name="norm2")(),
@@ -654,6 +662,7 @@ class SpatialTransformer(nn.Module):
             x = block_cls(
                 self.heads, self.dim_head, self.fuser_type,
                 skip_fuser=self.skip_fuser,
+                small_fused=not self.use_checkpoint,
                 name=f"transformer_blocks_{d}", dtype=self.dtype,
             )(x, context, objs, gate_scale)
         x = x.reshape(b, h, w, -1)
