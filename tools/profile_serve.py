@@ -103,6 +103,26 @@ def parse(outdir: str, top: int = 45) -> None:
             out[sm.name] = val
         return out
 
+    def classify(name: str) -> str:
+        """Semantic buckets from the HLO line (the xplane's hlo_category
+        stat is usually absent on this backend).  The metadata name holds
+        the full `%op = type fusion(operands...)` text."""
+        if name.startswith("%while"):
+            return "(while container — excluded)"
+        if name.startswith(("%attn", "%fuser", "%transformer_blocks", "%flash")):
+            return "pallas attention/projection kernels"
+        if "convolution" in name.split("=")[0] or re.search(r"bf16\[[357],[357],", name):
+            return "conv (+fused stats/residuals)"
+        if re.match(r"%\S+ = \(f32\[\d+,\d+\]", name):
+            return "norm statistics"
+        if name.startswith(("%add_", "%multiply_", "%divide_", "%select_", "%convert_")):
+            return "elementwise fusions"
+        if name.startswith(("%copy", "%reshape", "%broadcast", "%pad", "%slice", "%dynamic", "%bitcast", "%concatenate")):
+            return "data movement"
+        if name.startswith("%fusion"):
+            return "matmul/other fusions"
+        return "misc"
+
     by_name = collections.Counter()
     by_cat = collections.Counter()
     calls = collections.Counter()
@@ -116,13 +136,13 @@ def parse(outdir: str, top: int = 45) -> None:
             by_name[name] += dur
             calls[name] += 1
             stats = ev_stats(ev)
-            cat = stats.get("hlo_category")
-            if not cat:
-                cat = next((b for rx, b in _NAME_BUCKETS if rx.match(name)), "other")
+            cat = stats.get("hlo_category") or classify(name)
             by_cat[str(cat)] += dur
 
+    excl = by_cat.pop("(while container — excluded)", 0.0)
     total = sum(by_cat.values())
-    print(f"== device time by category (total {total*1e3:.2f} ms) ==")
+    print(f"== device time by category (total {total*1e3:.2f} ms; "
+          f"while-container {excl*1e3:.0f} ms excluded to avoid double count) ==")
     for cat, t in by_cat.most_common():
         print(f"  {cat:44s} {t*1e3:9.2f} ms  {100*t/total:5.1f}%")
     print(f"\n== top {top} ops by total device time ==")
