@@ -62,6 +62,10 @@ class SamplerTables:
         first_conv_restorable: bool = True,
     ) -> "SamplerTables":
         ddim_ts = make_ddim_timesteps(steps, schedule.num_timesteps)
+        # Non-divisor step counts follow the reference's c = T // S subset
+        # (util.py:55-69): the ACTUAL step count is the table length
+        # (ceil((T-1) / (T//S)) >= S) — all per-step tables size from it.
+        steps = len(ddim_ts)
         acp = np.asarray(schedule.alphas_cumprod)
         sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(acp, ddim_ts, eta)
 
@@ -155,6 +159,7 @@ def plms_sample(
         schedule, steps, eta=0.0, alpha_stages=alpha_stages,
         first_conv_restorable=first_conv_restorable,
     )
+    steps = tables.ts.shape[0]  # actual count (c = T // S subset semantics)
     k0 = _gate_zero_from(tables) if eps_fn_gate0 is not None else steps
     ts = jnp.asarray(tables.ts)
     ts_next = jnp.asarray(tables.ts_next)
@@ -239,6 +244,7 @@ def ddim_sample(
         schedule, steps, eta=eta, alpha_stages=alpha_stages,
         first_conv_restorable=first_conv_restorable,
     )
+    steps = tables.ts.shape[0]  # actual count (c = T // S subset semantics)
     k0 = _gate_zero_from(tables) if eps_fn_gate0 is not None else steps
     ts = jnp.asarray(tables.ts)
     a_t = jnp.asarray(tables.a_t)

@@ -53,16 +53,23 @@ def make_beta_schedule(
 def make_ddim_timesteps(
     num_ddim_timesteps: int, num_ddpm_timesteps: int, method: str = "uniform"
 ) -> np.ndarray:
-    """Subset of DDPM timesteps used by DDIM/PLMS, +1 shifted (util.py:55-69)."""
+    """Subset of DDPM timesteps used by DDIM/PLMS, +1 shifted (util.py:55-69).
+
+    Matches the reference's ``c = T // S`` semantics for arbitrary S: a
+    non-divisor S yields ``ceil((T-1) / (T // S))`` (>= S) actual steps —
+    callers must size their tables from the RETURNED length, not the
+    requested count.  The range caps at T-1 rather than T: when c does
+    not divide T (or c == 1) the reference's final subset entry overflows
+    the alpha table after the +1 shift (its commented-out assert,
+    util.py:64); capping drops exactly those out-of-range entries and is
+    a no-op for the shipped divisor counts (50, 250).
+    """
     if method == "uniform":
-        # non-divisors produce an extra step whose +1 index overflows the
-        # alpha table (latent bug in the reference, util.py:64's
-        # commented-out assert; its shipped step counts 50/250 divide 1000)
-        assert num_ddpm_timesteps % num_ddim_timesteps == 0, (
-            f"steps={num_ddim_timesteps} must divide T={num_ddpm_timesteps}"
+        assert 1 <= num_ddim_timesteps <= num_ddpm_timesteps, (
+            f"steps={num_ddim_timesteps} must be in [1, T={num_ddpm_timesteps}]"
         )
         c = num_ddpm_timesteps // num_ddim_timesteps
-        steps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
+        steps = np.arange(0, num_ddpm_timesteps - 1, c)
     elif method == "quad":
         steps = (
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2

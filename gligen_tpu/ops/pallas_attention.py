@@ -115,6 +115,10 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         m = jnp.max(s, axis=1)
         p = jnp.exp2(s - m[:, None])
     l = jnp.sum(p, axis=1)
+    # Degenerate rows (all keys masked, or every log2-domain logit
+    # underflows fp32 exp2 under NOMAX) have l == 0: saturate the
+    # normalizer so the output is 0 rather than 0/0 = NaN.
+    l = jnp.maximum(l, jnp.float32(1e-37))
     if _BF16_P:
         p = p.astype(jnp.bfloat16)
         v = v_ref[0]
@@ -181,8 +185,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
 
     @pl.when(j == pl.num_programs(seq_axis) - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log2(l_ref[:, 0])
+        # saturate degenerate (all-masked / fully-underflowed) rows to 0
+        # output instead of 0/0 = NaN
+        l_final = jnp.maximum(l_ref[:, 0], jnp.float32(1e-37))
+        o_ref[0] = (acc_ref[:] / l_final[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log2(l_final)
 
 
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
@@ -894,7 +901,9 @@ def flash_attention_packed(
         out = _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
         out = out[:, :, :n]  # (B, E, N)
         if expand is not None:
-            out = jnp.einsum("fe,ben->bfn", expand.T, out)
+            # expand is (F, E) with orthonormal 0/1 rows; contracting its E
+            # axis against the (B, E, N) output un-pads the head dim exactly.
+            out = jnp.einsum("fe,ben->bfn", expand, out)
         return out
     out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
     out = out[:, :n, :]

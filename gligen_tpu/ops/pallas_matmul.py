@@ -156,9 +156,10 @@ def ln_matmuls(x, scale, bias, ws, eps: float = 1e-5,
     x: (B, N, C); scale/bias: (C,) fp32; ws: tuple of (C, F_i) in x.dtype.
     Returns a tuple of (B, N, F_i) in x.dtype.  Padded rows (N -> block
     multiple) are computed on zeros and sliced off — UNLESS ``pad_to`` is
-    given, in which case outputs keep exactly pad_to rows (zero-LN rows at
-    the tail) so a downstream flash-attention call can consume them
-    directly with a key mask instead of a slice + re-pad copy pair."""
+    given, in which case outputs keep exactly pad_to rows.  NOTE: a tail
+    row is LayerNorm(0) = the LN bias pushed through W, i.e. bias@W_i —
+    NOT zero.  Consumers must key-mask the tail (the flash-attention
+    callers do); do not rely on tail rows being zeros."""
     block_n = _pick_block(x.shape[1], block_n, pad_to)
     return _ln_matmuls(x, scale.astype(jnp.float32), bias.astype(jnp.float32),
                        tuple(w.astype(x.dtype) for w in ws), eps, block_n, interpret,

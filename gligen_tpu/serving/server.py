@@ -9,7 +9,13 @@ TPU serving (no gradio dependency in this image):
 
   POST /generate
     {"prompt": str, "phrases": [...], "locations": [[x0,y0,x1,y1]...],
-     "batch_size": n, "guidance_scale": s, "alpha_type": [a,b,c],
+     "batch_size": n, "guidance_scale": s,
+     "alpha_type": [a,b,c] | null  (fuser-gate schedule stages; OMITTED
+        defaults to the reference demo schedule — [0.3, 0, 0.7] for
+        generation, [1, 0, 0] for inpainting (demo/app.py:184,191, tau
+        slider default 0.3).  Pass an explicit null to hold the gate at 1
+        for all steps.  CHANGED in r2: omitting the field previously meant
+        gate==1; clients relying on that should send alpha_type: null),
      "style_image": b64?, "task": "generation"|"inpainting",
      "input_image": b64?, "actual_mask": b64?  (user-drawn inpaint sketch,
         demo/app.py:276-281: nonzero pixels = region to inpaint),
@@ -101,10 +107,19 @@ class MicroBatcher:
         self._worker.start()
 
     def submit(self, sig: tuple, item: _BatchItem, run_kwargs: Dict[str, Any]):
+        key = (sig, _freeze(run_kwargs))
         with self._cv:
-            self._pending.setdefault((sig, _freeze(run_kwargs)), []).append(item)
+            self._pending.setdefault(key, []).append(item)
             self._cv.notify()
         if not item.event.wait(timeout=600):
+            # withdraw the abandoned item so the worker doesn't burn device
+            # time on a batch whose waiter already raised
+            with self._cv:
+                lst = self._pending.get(key)
+                if lst is not None and item in lst:
+                    lst.remove(item)
+                    if not lst:
+                        del self._pending[key]
             raise TimeoutError("batched generation timed out")
         if item.error is not None:
             raise item.error
@@ -116,32 +131,45 @@ class MicroBatcher:
                 while not self._pending:
                     self._cv.wait()
             time.sleep(self.window)  # collection window after first arrival
-            with self._cv:
-                if not self._pending:
-                    continue
-                key = next(iter(self._pending))
-                items = self._pending.pop(key)
-            (_, frozen_kwargs) = key
-            kwargs = dict(frozen_kwargs)
-            if kwargs.get("alpha_stages") is not None:
-                kwargs["alpha_stages"] = list(kwargs["alpha_stages"])
-            batch, take = [], 0
-            for it in items:
-                if take + it.n > self.max_images and batch:
-                    break
-                batch.append(it)
-                take += it.n
-            leftover = items[len(batch):]
-            if leftover:
+            # Drain EVERY ready signature group before sleeping again:
+            # mixed-modality bursts shouldn't pay one extra window per
+            # distinct signature.
+            while True:
                 with self._cv:
-                    self._pending.setdefault(key, []).extend(leftover)
-                    self._cv.notify()
-            try:
-                self._execute(batch, take, kwargs)
-            except Exception as e:  # noqa: BLE001 — routed to each waiter
-                for it in batch:
-                    it.error = e
-                    it.event.set()
+                    if not self._pending:
+                        break
+                    key = next(iter(self._pending))
+                    items = self._pending.pop(key)
+                (_, frozen_kwargs) = key
+                kwargs = dict(frozen_kwargs)
+                if kwargs.get("alpha_stages") is not None:
+                    kwargs["alpha_stages"] = list(kwargs["alpha_stages"])
+                batch, take = [], 0
+                for it in items:
+                    if take + it.n > self.max_images and batch:
+                        break
+                    batch.append(it)
+                    take += it.n
+                leftover = items[len(batch):]
+                if leftover:
+                    with self._cv:
+                        self._pending.setdefault(key, []).extend(leftover)
+                        self._cv.notify()
+                try:
+                    self._execute(batch, take, kwargs)
+                except Exception as batch_err:  # noqa: BLE001 — isolation below
+                    if len(batch) == 1:
+                        batch[0].error = batch_err
+                        batch[0].event.set()
+                        continue
+                    # One bad request shouldn't fail its batch-mates: retry
+                    # each item singly so only the faulty one errors.
+                    for it in batch:
+                        try:
+                            self._execute([it], it.n, kwargs)
+                        except Exception as e:  # noqa: BLE001 — routed to waiter
+                            it.error = e
+                            it.event.set()
 
     def _execute(self, batch, take, kwargs):
         bucket = next((b for b in self.buckets if b >= take), None)

@@ -260,3 +260,40 @@ def test_nomax_streaming_kernel_matches_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, r in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4, rtol=5e-4)
+
+
+def test_transposed_out_unaligned_head_dim():
+    """transposed_out with a non-128-aligned head dim exercises the
+    expansion-matrix un-pad on the (B, E, N) output (ADVICE r2: the
+    einsum previously bound mismatched sizes and raised)."""
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+    rng = np.random.default_rng(5)
+    b, h, n, m, c = 2, 2, 64, 64, 40  # c=40: padded to 128 lanes
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n if i == 0 else m, h * c)), jnp.float32)
+        for i in range(3)
+    )
+    ref = mha_flash(q, k, v, h, interpret=True)
+    got = flash_attention_packed(q, k, v, h, interpret=True, transposed_out=True)
+    assert got.shape == (b, h * c, n)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_all_masked_rows_saturate_not_nan():
+    """Degenerate key masks (a fully-masked row) must yield 0 output, not
+    0/0 = NaN, under the default NOMAX shift-free softmax (ADVICE r2)."""
+    rng = np.random.default_rng(6)
+    b, h, n, m = 2, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, n, h * 40)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, m, h * 40)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, m, h * 40)), jnp.float32)
+    mask = np.ones((b, m), bool)
+    mask[0, :] = False  # batch row 0: every key masked
+    out = np.asarray(mha_flash(q, k, v, h, key_mask=jnp.asarray(mask), interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], 0.0, atol=1e-6)
+    # unmasked batch row unaffected
+    ref = np.asarray(mha_flash(q[1:], k[1:], v[1:], h, interpret=True))
+    np.testing.assert_allclose(out[1], ref[0], atol=2e-5, rtol=2e-5)

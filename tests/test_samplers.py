@@ -182,3 +182,30 @@ def test_plms_is_jittable_single_program():
     assert out.shape == SHAPE
     # traced: eps_fn runs 3x (peeled step twice + scan body once), not 51x.
     assert calls["n"] == 3, calls["n"]
+
+
+def test_plms_arbitrary_step_counts():
+    """Serving exposes `steps` to users: any S in [1, T] must sample
+    without asserting (VERDICT r2 #6; reference util.py:55-69 c = T//S)."""
+    sched = DiffusionSchedule.create(timesteps=T, linear_start=LS, linear_end=LE)
+    rng = np.random.default_rng(11)
+    x_init = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    eps_fn = _fake_eps_fn(0.3, 0.1, 2.0)
+    for s in (3, 30, 37):
+        out = plms_sample(eps_fn, sched, x_init, steps=s)
+        assert out.shape == x_init.shape
+        assert np.isfinite(np.asarray(out)).all()
+    out = ddim_sample(eps_fn, sched, x_init, steps=37)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_tables_size_from_actual_subset():
+    from gligen_tpu.diffusion.samplers import SamplerTables
+
+    sched = DiffusionSchedule.create(timesteps=T, linear_start=LS, linear_end=LE)
+    t = SamplerTables.create(sched, 30, alpha_stages=[0.3, 0.0, 0.7])
+    n = len(t.ts)
+    assert n == 31  # ceil(1000 / (1000 // 30))
+    for field in ("ts", "ts_next", "a_t", "a_prev", "sqrt_one_minus_at",
+                  "sigma_t", "gate", "use_sd"):
+        assert len(getattr(t, field)) == n, field

@@ -102,3 +102,31 @@ def test_alpha_generator_matches_reference(reference_path):
         expect = [1.0] * n0 + decay + [0.0] * (length - n0 - n1)
         np.testing.assert_allclose(got, np.asarray(expect, dtype=np.float32), atol=1e-7)
         assert len(got) == length
+
+
+def test_arbitrary_step_counts_match_reference_subset(reference_path):
+    """Non-divisor S follows the reference's c = T // S subset
+    (util.py:55-69): identical entries, actual count may exceed S."""
+    from ldm.modules.diffusionmodules.util import make_ddim_timesteps as ref_steps
+
+    for s in (20, 30, 37, 50, 250):
+        ref_ts = np.asarray(ref_steps("uniform", s, T, verbose=False))
+        got_ts = make_ddim_timesteps(s, T)
+        # identical subset, minus reference entries whose +1 shift would
+        # overflow the alpha table (the reference's latent bug, util.py:64)
+        np.testing.assert_array_equal(got_ts, ref_ts[ref_ts <= T - 1])
+        c = T // s
+        assert len(got_ts) == -(-(T - 1) // c)  # ceil((T-1)/c) >= s
+        assert len(got_ts) >= s
+        # +1-shifted indices all stay inside the alpha table
+        assert got_ts.min() >= 1 and got_ts.max() <= T - 1
+        assert (np.diff(got_ts) > 0).all()
+
+
+def test_step_counts_above_half_t_stay_in_range():
+    """c == 1 regime: the reference's +1 shift would overflow the alpha
+    table (util.py:64's commented-out assert); we drop the final entry."""
+    for s in (600, 999, 1000):
+        got = make_ddim_timesteps(s, T)
+        assert got.max() <= T - 1 and got.min() >= 1
+        assert len(got) == T - 1

@@ -5,6 +5,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -350,3 +351,76 @@ def test_resolution_field_sets_latent_size():
                  "batch_size": 1, "resolution": 1024})
     assert p3.last["latent_size"] == 128
     assert p3.last["noise"].shape == (1, 128, 128, 4)
+
+
+def test_microbatcher_fault_isolation():
+    """A bad request fused into a batch must not fail its batch-mates:
+    the batcher retries items singly so only the faulty one errors."""
+
+    class _FaultyOnMarker(_CountingPipeline):
+        def generate(self, ids, uc_ids, grounding, **kw):
+            # the "poison" request grounds 2 boxes; good ones ground 1
+            if float(np.asarray(grounding["masks"]).sum(-1).max()) >= 2:
+                self.calls.append(-ids.shape[0])
+                raise RuntimeError("poison request")
+            return super().generate(ids, uc_ids, grounding, **kw)
+
+    pipe = _FaultyOnMarker()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=300)
+    results, errors = {}, {}
+
+    def worker(name, locations):
+        try:
+            results[name] = session.generate(
+                {"prompt": name, "phrases": ["x"] * len(locations),
+                 "locations": locations, "batch_size": 1}
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e)
+
+    threads = [
+        threading.Thread(target=worker, args=("good1", [[0, 0, 1, 1]])),
+        threading.Thread(target=worker, args=("bad", [[0, 0, 1, 1], [0, 0, 0.5, 0.5]])),
+        threading.Thread(target=worker, args=("good2", [[0.1, 0.1, 0.9, 0.9]])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    assert "bad" in errors and "poison" in errors["bad"]
+    assert len(results["good1"]["images"]) == 1
+    assert len(results["good2"]["images"]) == 1
+    # the poison row raised at least once (fused and/or single attempt)
+    assert any(c < 0 for c in pipe.calls), pipe.calls
+
+
+def test_microbatcher_drains_all_groups_per_window():
+    """Two incompatible signature groups arriving in the same window are
+    BOTH executed after one window (not one window each)."""
+    pipe = _CountingPipeline()
+    window_ms = 250
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=window_ms)
+    done = {}
+
+    def worker(name, steps):
+        t0 = time.monotonic()
+        session.generate(
+            {"prompt": name, "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+             "batch_size": 1, "steps": steps}
+        )
+        done[name] = time.monotonic() - t0
+
+    threads = [
+        threading.Thread(target=worker, args=(f"g{i}", 10 + i)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    assert sorted(pipe.calls) == [1, 1, 1, 1]
+    # all four groups drained after the FIRST window; stub generate is
+    # instant, so even the last group finishes well before a second window
+    # would have elapsed per group (4 * window).
+    assert max(done.values()) < 3 * window_ms / 1000.0, done
