@@ -34,6 +34,17 @@ class ConCatDataset:
             datasets.append(DATASETS.get(target)(**train_params))
         return cls(datasets, repeats)
 
+    def reseed(self, seed: int) -> None:
+        """Re-draw every member dataset's augmentation RNG — the decode-pool
+        worker_init contract (forked workers must not share RNG state)."""
+        import numpy as np
+
+        for i, ds in enumerate(self.datasets):
+            if hasattr(ds, "reseed"):
+                ds.reseed(seed + i)
+            elif hasattr(ds, "rng"):
+                ds.rng = np.random.default_rng(seed + i)
+
     def __len__(self) -> int:
         return len(self._index)
 

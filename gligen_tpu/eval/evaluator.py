@@ -121,13 +121,32 @@ def main(argv=None):
     ap.add_argument("--clip_vision_ckpt", default=None)
     ap.add_argument("--fid", action="store_true")
     ap.add_argument("--psnr", action="store_true")
+    ap.add_argument(
+        "--allow_random_features", action="store_true",
+        help="permit the seeded-random fallback feature extractors (conv "
+        "LPIPS backbone / conv FID features). Numbers from random features "
+        "are self-consistent but NOT comparable to published FID/LPIPS; "
+        "without this flag the CLI refuses rather than printing them.",
+    )
     args = ap.parse_args(argv)
+
+    def _require_random_ok(what: str) -> None:
+        if not args.allow_random_features:
+            ap.error(
+                f"{what} would use seeded-RANDOM features (no pretrained "
+                "weights supplied) — values are not comparable to published "
+                "numbers. Pass --allow_random_features to proceed, or supply "
+                "--lpips_backbone clip --clip_vision_ckpt for real features."
+            )
 
     out = {}
     if args.lpips:
         from gligen_tpu.eval.lpips import lpips_over_folders, make_lpips_fn
 
         fn = None
+        if args.lpips_backbone == "conv":
+            _require_random_ok("--lpips (conv backbone)")
+            out["lpips_features"] = "random"
         if args.lpips_backbone == "clip":
             import torch
 
@@ -141,13 +160,15 @@ def main(argv=None):
             )
         out["lpips"] = lpips_over_folders(args.a, args.b, fn)
     if args.fid:
-        from gligen_tpu.eval.lpips import PerceptualConvStack, make_lpips_fn  # noqa: F401
         import jax
         import jax.numpy as jnp
 
         # CLIP weights may be absent: use the conv stack's deepest stage
         # pooled as the FID feature when no vision tower is supplied.
         from gligen_tpu.eval.lpips import PerceptualConvStack
+
+        _require_random_ok("--fid (conv feature fallback)")
+        out["fid_features"] = "random"
 
         model = PerceptualConvStack()
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]

@@ -245,7 +245,8 @@ def build_pipeline(ckpt: str, args) -> "Any":
         )
     else:
         params, config = ckpt_io.load_gligen_torch_checkpoint(
-            ckpt, sd_first_conv_path=args.sd_input_conv
+            ckpt, sd_first_conv_path=args.sd_input_conv,
+            use_ema=getattr(args, "use_ema", False),
         )
         model_params = dict(config.get("model", {}).get("params", {}))
         model_params.pop("image_size", None)
@@ -253,6 +254,22 @@ def build_pipeline(ckpt: str, args) -> "Any":
         # map reference dotted grounding targets through the registry aliases
         comps = GligenComponents.create(unet_config=model_params, dtype=dtype)
         comps.params.update(params)
+    train_ckpt = getattr(args, "train_ckpt", None)
+    if train_ckpt:
+        # Overlay a NATIVE training run's trainable subset (fusers,
+        # position net, downsampler, widened first conv) — optionally the
+        # EMA shadow — onto the base params: train on TPU, serve the result.
+        import flax.traverse_util as traverse
+
+        flat = traverse.flatten_dict(comps.params["model"])
+        loaded = ckpt_io.load_training_params(
+            train_ckpt, use_ema=getattr(args, "use_ema", False)
+        )
+        for path, val in loaded.items():
+            if path not in flat:
+                raise ValueError(f"train_ckpt param {path} not in model tree")
+            flat[path] = jnp.asarray(val)
+        comps.params["model"] = traverse.unflatten_dict(flat)
     pipe = GenerationPipeline(comps)
     # A real checkpoint with the hash-fallback tokenizer would silently
     # produce garbage conditioning: demand real vocab files (or an explicit
@@ -496,6 +513,16 @@ def main(argv: Optional[List[str]] = None):
     )
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--train_ckpt", type=str, default=None,
+        help="native training checkpoint (tag dir or checkpoint_<step>) whose "
+        "trainable subset overlays the base --ckpt params",
+    )
+    parser.add_argument(
+        "--use_ema", action="store_true",
+        help="load the EMA shadow of the trainable params (torch ckpt 'ema' "
+        "entry / native 'ema_params') instead of the live weights",
+    )
     args = parser.parse_args(argv)
 
     if args.meta:

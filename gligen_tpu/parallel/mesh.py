@@ -46,26 +46,69 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
-    """Place a host pytree with its leading (batch) dim sharded over ``axis``."""
+    """Place a host pytree with its leading (batch) dim sharded over ``axis``.
+
+    Single-process: the tree holds the GLOBAL batch; a host-local
+    device_put scatters it.  Multi-process (``jax.process_count() > 1``):
+    each process passes only its PROCESS-LOCAL rows — the slice
+    ``process_batch_slice(global_batch)`` of the conceptual global batch
+    (the DistributedSampler contract, reference trainer.py:275) — and the
+    global array is assembled via
+    ``jax.make_array_from_process_local_data`` (a host-local device_put
+    of the full batch would be WRONG here: non-addressable devices can't
+    be fed from this host)."""
     n = int(np.prod([mesh.shape[a] for a in (axis,) if a in mesh.shape]) or 1)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
         if x.ndim and x.shape[0] % n != 0:
             raise ValueError(
                 f"batch dim {x.shape[0]} not divisible by mesh axis "
                 f"{axis!r} size {n}"
             )
-        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, tree)
 
 
+def process_batch_slice(global_batch: int) -> slice:
+    """This process's contiguous row range within a global batch (the
+    DistributedSampler equivalent, reference trainer.py:275).
+
+    Row blocks are process-major, matching ``make_mesh``'s device order
+    (jax.devices() sorts by id, which is process-major), so the slice
+    lines up with ``jax.make_array_from_process_local_data``."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    local = global_batch // n
+    r = jax.process_index()
+    return slice(r * local, (r + 1) * local)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Fully replicate a pytree over the mesh (frozen weights, scalars)."""
+    """Fully replicate a pytree over the mesh (frozen weights, scalars).
+
+    Multi-process: every process holds the full value host-side (params
+    are loaded/initialized identically everywhere), so each feeds its own
+    addressable devices and the arrays are stitched into one global
+    jax.Array."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+
+    def put(x):
+        x = np.asarray(x)
+        arrs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding, arrs)
+
+    return jax.tree.map(put, tree)
 
 
 def batch_spec(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -24,7 +24,10 @@ TPU serving (no gradio dependency in this image):
      "resolution": 512|1024? (output size; latent = resolution/8),
      "seed": int}
   -> {"images": [b64 png, ...], "latency_sec": t}
-  GET /health -> {"status": "ok"}
+  GET /health -> {"status": "ok"}           (process liveness)
+  GET /ready  -> 200 {"status": "ready"} | 503 {"status": "warming"}
+     (readiness: ok once --warmup finished pre-compiling every requested
+      serving program; load balancers should gate on this, not /health)
 
 Style grounding rides the reference's trick (demo/app.py:169-181): the
 style image is appended as an extra grounding slot with location
@@ -230,10 +233,40 @@ class ServingSession:
         self.features = feature_extractor
         self.default_steps = default_steps
         self._lock = threading.Lock()
+        self.ready = True  # flips False while a warmup pass is running
         self.batcher = (
             MicroBatcher(pipeline, self._lock, window_ms=batch_window_ms)
             if batch_window_ms > 0 else None
         )
+
+    def warmup(self, buckets=(1, 8), resolutions=(512,), background: bool = False):
+        """Pre-compile the serving programs at boot (VERDICT r2 #7a).
+
+        Each (bucket, resolution) pair is a distinct compiled program
+        (static batch and latent size); cold compiles run ~minutes each on
+        the axon remote compiler, so without this the FIRST request of each
+        shape stalls.  The reference preloads all models at import
+        (demo/app.py:54-93); here we additionally execute one real
+        generation per shape through the standard path.  ``background``
+        runs the pass in a daemon thread; ``self.ready`` (the /ready
+        endpoint) flips true when every program is compiled.
+        """
+        def run():
+            try:
+                for res in resolutions:
+                    for b in sorted(set(buckets)):
+                        self.generate({
+                            "prompt": "", "batch_size": int(b),
+                            "resolution": int(res), "seed": 0,
+                        })
+            finally:
+                self.ready = True
+
+        self.ready = False
+        if background:
+            threading.Thread(target=run, daemon=True).start()
+        else:
+            run()
 
     # ---- modality dispatch -------------------------------------------
     def _modality(self) -> str:
@@ -432,6 +465,13 @@ def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/ready":
+                # distinct from /health: ok only once warmup compiled every
+                # requested serving program (load balancers gate on this)
+                if session.ready:
+                    self._send(200, {"status": "ready"})
+                else:
+                    self._send(503, {"status": "warming"})
             elif self.path in ("/", "/index.html"):
                 from gligen_tpu.serving.demo_page import PAGE
 
@@ -471,6 +511,21 @@ def main(argv=None):
     p.add_argument("--clip_vision_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--train_ckpt", type=str, default=None,
+        help="native training checkpoint (tag dir or checkpoint_<step>) "
+        "overlaying the base --ckpt params",
+    )
+    p.add_argument(
+        "--use_ema", action="store_true",
+        help="serve the EMA shadow of the trainable params",
+    )
+    p.add_argument(
+        "--warmup", type=str, default=None, metavar="BUCKETSxRESOLUTIONS",
+        help="pre-compile serving programs at boot, e.g. '1,8x512' or "
+        "'1,2,4,8x512,1024'; /ready returns 503 until done (server accepts "
+        "requests immediately — warmup runs in the background)",
+    )
+    p.add_argument(
         "--batch_window_ms", type=int, default=25,
         help="cross-request micro-batching window (0 disables); concurrent "
         "compatible requests fuse into one padded TPU batch",
@@ -485,6 +540,13 @@ def main(argv=None):
     pipe.tokenizer = tokenizer
     session = ServingSession(pipe, tokenizer, FeatureExtractor(pipe),
                              batch_window_ms=args.batch_window_ms)
+    if args.warmup:
+        buckets_s, _, res_s = args.warmup.partition("x")
+        session.warmup(
+            buckets=[int(v) for v in buckets_s.split(",") if v],
+            resolutions=[int(v) for v in res_s.split(",") if v] or (512,),
+            background=True,
+        )
     server = make_server(session, port=args.port)
     print(f"serving on :{args.port}")
     server.serve_forever()

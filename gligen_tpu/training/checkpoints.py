@@ -43,17 +43,28 @@ def _strip_prefix(state: Dict[str, Any], prefix: str) -> Dict[str, Any]:
 
 
 def load_gligen_torch_checkpoint(
-    path: str, sd_first_conv_path: Optional[str] = None
+    path: str, sd_first_conv_path: Optional[str] = None, use_ema: bool = False
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """A released GLIGEN ckpt -> (flax params 3-way, embedded config)."""
+    """A released GLIGEN ckpt -> (flax params 3-way, embedded config).
+
+    ``use_ema``: overlay the checkpoint's ``ema`` state dict (the EMA
+    shadow the reference saves at trainer.py:481-482, same key names as
+    ``model``) onto the model weights before conversion."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_sd = ckpt["model"]
+    if use_ema:
+        if "ema" not in ckpt:
+            raise ValueError(
+                f"{path} has no 'ema' entry (trained without enable_ema)"
+            )
+        model_sd = {**model_sd, **ckpt["ema"]}
     sd_conv = None
     if sd_first_conv_path and os.path.exists(sd_first_conv_path):
         sd_conv = torch.load(sd_first_conv_path, map_location="cpu", weights_only=False)
     params = {
-        "model": convert_unet(ckpt["model"], sd_first_conv=sd_conv),
+        "model": convert_unet(model_sd, sd_first_conv=sd_conv),
         "autoencoder": convert_vae(ckpt["autoencoder"]),
         "text_encoder": convert_clip_text(_strip_prefix(ckpt["text_encoder"], "transformer.")),
     }
@@ -119,6 +130,32 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 def restore_training_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     restored = _ckptr().restore(path, item=jax.tree.map(np.asarray, template))
     return jax.tree.map(lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype), template, restored)
+
+
+def load_training_params(
+    path_or_dir: str, use_ema: bool = False
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Restore a NATIVE training checkpoint's trainable subset for
+    inference: flat {param-path tuple: array}.
+
+    ``path_or_dir`` may be a checkpoint_<step> directory or a tag dir
+    containing one (the latest is picked).  ``use_ema`` returns the EMA
+    shadow instead of the live trainable params (reference
+    trainer.py:252-257)."""
+    path = path_or_dir
+    if not os.path.basename(os.path.normpath(path)).startswith("checkpoint_"):
+        found = latest_checkpoint(path_or_dir)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoint_* under {path_or_dir}")
+        path = found
+    state = _ckptr().restore(path)["state"]
+    key = "ema_params" if use_ema else "train_params"
+    if key not in state:
+        raise ValueError(
+            f"{path} has no {key!r}"
+            + (" (trained without enable_ema)" if use_ema else "")
+        )
+    return {tuple(k.split("/")): np.asarray(v) for k, v in state[key].items()}
 
 
 def find_resume_dir(output_root: str, name: str) -> Tuple[str, Optional[str]]:

@@ -92,6 +92,7 @@ def main(argv=None):
         grounding_modality=args.grounding_modality or modality_from_config(config),
         dtype=args.dtype,
         seed=args.seed,
+        workers=args.workers,
         preview_samples=not args.disable_inference_in_training,
     )
     trainer = Trainer(config, run)

@@ -1,0 +1,101 @@
+"""Worker for the REAL multi-process (multi-host) correctness test.
+
+Launched by tests/test_multiprocess.py as 2 separate processes x 4 virtual
+CPU devices each, coordinated through ``jax.distributed.initialize`` — the
+closest single-machine analogue of a 2-host TPU pod.  Each process:
+
+  * materializes ONLY its slice of the global batch
+    (``process_batch_slice``, the DistributedSampler contract,
+    reference trainer.py:275),
+  * assembles the global sharded batch via ``shard_batch`` (which uses
+    ``jax.make_array_from_process_local_data`` under process_count > 1),
+  * replicates params across all 8 global devices,
+  * runs ONE jitted train step and prints {rank, loss, checksum}.
+
+Not a pytest module (no test_ prefix): run directly with
+``python multiprocess_worker.py <rank> <nproc> <coordinator>``.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    rank, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # Must be set before the first jax import; strip any inherited
+    # device-count override (the pytest parent forces 8).
+    flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    flags.append("--xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=rank
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "tiny_setup",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "test_train_multidevice.py"),
+    )
+    tiny = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tiny)
+
+    from gligen_tpu.parallel.mesh import (
+        make_mesh,
+        process_batch_slice,
+        replicate,
+        shard_batch,
+    )
+    from gligen_tpu.training.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    unet, vae, text, sched = tiny._components()
+    model_params, aux = tiny._init_params(unet, vae, text, jax.random.PRNGKey(0))
+    tx = make_optimizer(base_lr=1e-3, warmup_steps=0, total_steps=100)
+    step = make_train_step(unet, vae, text, sched, tx, grounding_drop_prob=0.0)
+
+    # every process computes the same conceptual global batch, then keeps
+    # only its rows — exactly what a per-host input pipeline would feed
+    global_batch = tiny._global_batch(8)
+    sl = process_batch_slice(8)
+    local_batch = jax.tree.map(lambda x: np.asarray(x)[sl], global_batch)
+
+    mesh = make_mesh((("data", 8),))
+    state, frozen = create_train_state(model_params, tx)
+    state = replicate(mesh, state)
+    frozen = replicate(mesh, frozen)
+    aux_r = replicate(mesh, aux)
+    batch = shard_batch(mesh, local_batch)
+    with mesh:
+        new_state, metrics = jax.jit(step)(state, frozen, aux_r, batch, jax.random.PRNGKey(7))
+
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    checksum = float(
+        sum(
+            np.abs(np.asarray(jax.device_get(v)).astype(np.float64)).sum()
+            for _, v in sorted(new_state.train_params.items())
+        )
+    )
+    print(json.dumps({"rank": rank, "loss": loss, "checksum": checksum}))
+
+
+if __name__ == "__main__":
+    main()

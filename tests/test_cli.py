@@ -154,7 +154,7 @@ def test_real_ckpt_requires_real_tokenizer(tmp_path, monkeypatch):
     )
     from gligen_tpu.training import checkpoints as ckpt_io
 
-    def fake_load(path, sd_first_conv_path=None):
+    def fake_load(path, sd_first_conv_path=None, use_ema=False):
         return {}, {"model": {"params": {
             "model_channels": 32, "context_dim": 32, "num_heads": 2,
             "attention_resolutions": [1], "num_res_blocks": 1, "channel_mult": [1],

@@ -1,6 +1,7 @@
 """Eval metrics: FID math, PSNR/SSIM sanity vs known values."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -145,11 +146,25 @@ def test_evaluate_cli_end_to_end(tmp_path):
         Image.fromarray(noisy).save(b_dir / f"{i}.png")
 
     out = evaluate_main(["--a", str(a_dir), "--b", str(b_dir),
-                         "--lpips", "--psnr", "--fid"])
+                         "--lpips", "--psnr", "--fid",
+                         "--allow_random_features"])
     assert 0 < out["lpips"] < 50
     assert 10 < out["psnr"] < 40
     assert out["fid"] >= 0
+    # random-feature numbers must be loudly marked as such (VERDICT r2 #7)
+    assert out["lpips_features"] == "random"
+    assert out["fid_features"] == "random"
 
     # identical folders: lpips ~ 0
-    out2 = evaluate_main(["--a", str(a_dir), "--b", str(a_dir), "--lpips"])
+    out2 = evaluate_main(["--a", str(a_dir), "--b", str(a_dir), "--lpips",
+                          "--allow_random_features"])
     assert out2["lpips"] < 1e-6
+
+    # without the opt-in, random-feature metrics refuse rather than print
+    with pytest.raises(SystemExit):
+        evaluate_main(["--a", str(a_dir), "--b", str(b_dir), "--lpips"])
+    with pytest.raises(SystemExit):
+        evaluate_main(["--a", str(a_dir), "--b", str(b_dir), "--fid"])
+    # psnr is an exact pixel metric — no feature extractor, no opt-in needed
+    out3 = evaluate_main(["--a", str(a_dir), "--b", str(b_dir), "--psnr"])
+    assert 10 < out3["psnr"] < 40

@@ -6,6 +6,7 @@ import io
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -424,3 +425,59 @@ def test_microbatcher_drains_all_groups_per_window():
     # instant, so even the last group finishes well before a second window
     # would have elapsed per group (4 * window).
     assert max(done.values()) < 3 * window_ms / 1000.0, done
+
+
+def test_warmup_and_ready_endpoint():
+    """--warmup pre-runs one generation per (bucket, resolution) through the
+    standard path; /ready reports 503 while warming and 200 after
+    (VERDICT r2 #7a)."""
+    session = _session()
+    pipe = session.pipe
+    pipe.calls = []
+    orig = pipe.generate
+
+    def tracking(ids, uc_ids, grounding, **kw):
+        pipe.calls.append((ids.shape[0], kw.get("latent_size")))
+        return orig(ids, uc_ids, grounding, **kw)
+
+    pipe.generate = tracking
+    server = make_server(session, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # gate /ready on a warmup that we release manually
+        release = threading.Event()
+        blocked = pipe.generate
+
+        def blocking(*a, **kw):
+            release.wait(timeout=10)
+            return blocked(*a, **kw)
+
+        pipe.generate = blocking
+        session.warmup(buckets=(1, 2), resolutions=(512, 1024), background=True)
+        deadline = time.monotonic() + 5
+        code = None
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}/ready") as r:
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code = e.code
+            if code == 503:
+                break
+            time.sleep(0.01)
+        assert code == 503  # warming
+        pipe.generate = tracking
+        release.set()
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not session.ready:
+            time.sleep(0.02)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/ready") as r:
+            assert r.status == 200
+            assert json.load(r)["status"] == "ready"
+    finally:
+        server.shutdown()
+    # every (bucket, resolution) shape was driven through the real path
+    shapes = set(pipe.calls)
+    assert {(1, 64), (2, 64), (1, 128), (2, 128)} <= shapes, shapes

@@ -258,3 +258,141 @@ def test_trainer_spatial_modality_with_preview(tmp_path):
     assert previews
     # downsampler params are trainable for this config
     assert any("downsample_net" in "/".join(k) for k in state.train_params)
+
+
+def test_ema_save_load_generate(tmp_path):
+    """EMA end to end (VERDICT r2 #5): train with enable_ema, checkpoint,
+    reload the EMA shadow through the inference loader, and GENERATE from
+    it — the EMA weights must differ from the live weights after updates,
+    and both must sample."""
+    import os
+
+    import jax
+
+    from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
+    from gligen_tpu.training import checkpoints as ckpt_io
+
+    run = TrainerConfig(
+        name="tiny_ema", output_root=str(tmp_path), batch_size=1,
+        warmup_steps=1, total_iters=1000, save_every_iters=100,
+        log_every_iters=100, dtype="float32", enable_ema=True, ema_rate=0.9,
+        base_learning_rate=1e-2,
+    )
+    tr = Trainer(_model_config(), run)
+    # De-zero fuser gates + frozen zero-init convs so gradients actually
+    # flow (fresh-init zero output convs block all grads — see
+    # test_loss_decreases_on_fixed_batch); keep EMA as a copy of the
+    # modified start point.
+    from gligen_tpu.training.train_step import TrainState
+
+    key = jax.random.PRNGKey(7)
+    train_params = {}
+    for k, v in tr.state.train_params.items():
+        if k[-1].startswith("alpha"):
+            v = jnp.full_like(v, 0.1)
+        train_params[k] = v
+    for k, v in list(tr.frozen.items()):
+        if k[-1] == "kernel" and not jnp.any(v):
+            key, sub = jax.random.split(key)
+            tr.frozen[k] = jax.random.normal(sub, v.shape) * 0.05
+    tr.state = TrainState(
+        tr.state.step, train_params, tr.tx.init(train_params),
+        ema_params=jax.tree.map(jnp.array, train_params),
+    )
+    ds = SyntheticBoxDataset(16, 16)
+    tr.start_training(max_iters=3, dataset=ds)
+
+    # model_params(use_ema) differs from the live params after updates
+    live = tr.model_params()
+    ema = tr.model_params(use_ema=True)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), live, ema
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+    # native loader round-trip: both variants restore; EMA != live
+    ckpt_dir = tr.tag_dir  # tag dir resolution picks the latest checkpoint
+    flat_live = ckpt_io.load_training_params(ckpt_dir, use_ema=False)
+    flat_ema = ckpt_io.load_training_params(ckpt_dir, use_ema=True)
+    assert set(flat_live) == set(flat_ema)
+    assert any(
+        np.abs(flat_live[k] - flat_ema[k]).max() > 0 for k in flat_live
+    )
+
+    # generate from the EMA weights through the standard pipeline
+    cfg = _model_config()["model"]["params"]
+    cfg.pop("image_size")
+    comps = GligenComponents.create(
+        unet_config=cfg, dtype=jnp.float32, rng=jax.random.PRNGKey(0), latent_size=8,
+    )
+    comps.params["model"] = tr.model_params(use_ema=True)
+    comps.params["autoencoder"] = tr.aux_params["autoencoder"]
+    comps.params["text_encoder"] = tr.aux_params["text_encoder"]
+    import dataclasses as _dc
+
+    comps = _dc.replace(
+        comps, unet=tr.unet, vae=tr.vae, text_encoder=tr.text_encoder,
+        schedule=tr.schedule,
+    )
+    pipe = GenerationPipeline(comps)
+    ids = np.zeros((1, 77), np.int32)
+    g = {
+        "boxes": np.zeros((1, 30, 4), np.float32),
+        "masks": np.zeros((1, 30), np.float32),
+        "positive_embeddings": np.zeros((1, 30, CTX), np.float32),
+    }
+    img = pipe.generate(ids, ids, g, steps=2, latent_size=8)
+    assert np.isfinite(np.asarray(img)).all()
+    assert img.shape == (1, 16, 16, 3)  # tiny VAE: ch_mult (1,2) -> 2x upsample
+
+    # ema missing -> helpful error
+    run2 = TrainerConfig(
+        name="tiny_noema", output_root=str(tmp_path), batch_size=1,
+        dtype="float32", enable_ema=False,
+    )
+    tr2 = Trainer(_model_config(), run2)
+    with pytest.raises(ValueError, match="enable_ema"):
+        tr2.model_params(use_ema=True)
+
+
+def test_worker_pool_parallel_decode():
+    """workers>1 decodes batch items in a fork pool (VERDICT r2 #3): with a
+    50 ms-per-item dataset and global batch 8, four workers must beat the
+    single-producer path by well over 2x (sleep releases the GIL/CPU, so
+    this holds even on a 1-core host)."""
+    import time as _time
+
+    from gligen_tpu.training.trainer import Trainer
+
+    class SlowDataset:
+        rng = np.random.default_rng(0)
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            _time.sleep(0.05)
+            return {"v": i}
+
+    class FakeTrainer:
+        global_batch = 8
+        collate = staticmethod(lambda items: {"n": len(items), "idx": [it["v"] for it in items]})
+
+    def pull(workers, n_batches=3):
+        fake = FakeTrainer()
+        fake.run = TrainerConfig(workers=workers)
+        gen = Trainer.batches(fake, SlowDataset(), prefetch=1)
+        first = next(gen)  # warm: pool fork + prefetch spin-up stay untimed
+        t0 = _time.monotonic()
+        out = [next(gen) for _ in range(n_batches)]
+        dt = _time.monotonic() - t0
+        assert all(b["n"] == 8 for b in [first] + out)
+        return dt, [first] + out
+
+    t1, out1 = pull(workers=1)
+    t4, out4 = pull(workers=4)
+    # identical shuffle order regardless of worker count
+    assert [b["idx"] for b in out1] == [b["idx"] for b in out4]
+    # serial: 8 x 50 ms = 400 ms/batch; 4 workers: ~100 ms/batch. Use a
+    # generous margin — CI hosts run this under load.
+    assert t4 < t1 * 0.6, (t1, t4)
