@@ -18,6 +18,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import zlib
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -161,7 +162,10 @@ class HashTokenizer:
         out = np.full((len(texts), max_length), self.eos, dtype=np.int32)
         for i, text in enumerate(texts):
             words = _whitespace_clean(text).lower().split(" ")
-            ids = [hash(w) % (self.vocab_size - 1000) for w in words if w][: max_length - 2]
+            # crc32, not hash(): str hash() is salted per process, which
+            # would break cross-process reproducibility (the fidelity gate
+            # compares two subprocess runs on identical inputs)
+            ids = [zlib.crc32(w.encode()) % (self.vocab_size - 1000) for w in words if w][: max_length - 2]
             row = [self.bos] + ids + [self.eos]
             out[i, : len(row)] = row
         return out

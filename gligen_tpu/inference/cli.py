@@ -214,6 +214,36 @@ def prepare_batch_for(meta, batch: int, features: FeatureExtractor):
 
 # -------------------------------------------------------------------- run
 
+def dezero_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """De-zero a fresh-init UNet so random-weight runs are non-vacuous
+    (the tests/test_full_scale_parity.py `_dezero` recipe): fuser
+    alpha_attn/alpha_dense gates -> 0.5, zero-init kernels (zero_module
+    output convs, null grounding features) -> seeded randn / sqrt(fan_in).
+    Deterministic in the param PATH, so two processes building the same
+    init always de-zero to identical values (the fidelity gate's
+    same-weights-two-precisions contract)."""
+    import flax.traverse_util as traverse
+    import jax
+    import jax.numpy as jnp
+
+    flat = traverse.flatten_dict(params)
+    out = {}
+    for path, v in flat.items():
+        name = "/".join(path)
+        if path[-1] in ("alpha_attn", "alpha_dense"):
+            v = jnp.full_like(v, 0.5)
+        elif float(jnp.abs(v).sum()) == 0.0 and v.ndim >= 1:
+            import zlib
+
+            # crc32, not hash(): str hash is randomized per process and the
+            # fidelity gate needs identical de-zeroing across processes
+            key = jax.random.PRNGKey(zlib.crc32(name.encode()) % (2**31))
+            fan_in = int(np.prod(v.shape[:-1])) if v.ndim >= 2 else v.size
+            v = jax.random.normal(key, v.shape, v.dtype) / max(fan_in, 1) ** 0.5
+        out[path] = v
+    return traverse.unflatten_dict(out)
+
+
 def build_pipeline(ckpt: str, args) -> "Any":
     import jax
     import jax.numpy as jnp
@@ -243,6 +273,8 @@ def build_pipeline(ckpt: str, args) -> "Any":
         comps = GligenComponents.create(
             unet_config=unet_config, dtype=dtype, rng=jax.random.PRNGKey(args.seed)
         )
+        if getattr(args, "dezero", False):
+            comps.params["model"] = dezero_params(comps.params["model"])
     else:
         params, config = ckpt_io.load_gligen_torch_checkpoint(
             ckpt, sd_first_conv_path=args.sd_input_conv,
@@ -519,9 +551,20 @@ def main(argv: Optional[List[str]] = None):
         "trainable subset overlays the base --ckpt params",
     )
     parser.add_argument(
+        "--dezero", action="store_true",
+        help="de-zero a random-init model's zero_module convs and fuser "
+        "gates (deterministic in param path) so random-weight runs exercise "
+        "every path — the fidelity gate's weight recipe",
+    )
+    parser.add_argument(
         "--use_ema", action="store_true",
         help="load the EMA shadow of the trainable params (torch ckpt 'ema' "
         "entry / native 'ema_params') instead of the live weights",
+    )
+    parser.add_argument(
+        "--scenarios", type=str, default=None,
+        help="comma-separated save_folder_name filter over the meta list "
+        "(e.g. 'generation_box_text,hed'); default runs all",
     )
     args = parser.parse_args(argv)
 
@@ -534,6 +577,9 @@ def main(argv: Optional[List[str]] = None):
     if args.ckpt:
         for m in metas:
             m["ckpt"] = args.ckpt if "random" not in args.ckpt else _tag_random(m, args.ckpt)
+    if args.scenarios:
+        keep = {s.strip() for s in args.scenarios.split(",") if s.strip()}
+        metas = [m for m in metas if m.get("save_folder_name") in keep]
 
     for meta in metas:
         paths = run(meta, args)

@@ -69,7 +69,11 @@ def multi_head_attention(
     if _use_flash(q.shape[1], k.shape[1], implementation):
         from gligen_tpu.ops.pallas_attention import mha_flash
 
-        return mha_flash(q, k, v, heads, key_mask=key_mask)
+        # off-TPU the kernel only exists in interpret mode (reachable via
+        # an explicit implementation='pallas' override, e.g. the serving
+        # fidelity proxy test on CPU)
+        return mha_flash(q, k, v, heads, key_mask=key_mask,
+                         interpret=jax.default_backend() != "tpu")
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
