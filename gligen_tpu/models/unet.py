@@ -72,6 +72,48 @@ def _conv(features: int, kernel: int, name: str, stride: int = 1, zero_init: boo
     )
 
 
+def _fused_conv_enabled() -> bool:
+    """Route ResBlock GN->SiLU->conv3x3 chains through the fused Pallas
+    kernel (ops/pallas_conv.py).  Off by default until benched per
+    backend; the param tree is IDENTICAL either way."""
+    import os
+
+    from gligen_tpu.models.layers import _interpret
+
+    if os.environ.get("GLIGEN_TPU_FUSED_CONV", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu" or _interpret()
+
+
+class _GNParams(nn.Module):
+    """GroupNorm32 parameter shell — same tree, no compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _Conv3Params(nn.Module):
+    """nn.Conv(3x3) parameter shell — same 'kernel'/'bias' tree/init."""
+
+    in_features: int
+    features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (3, 3, self.in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResBlock(nn.Module):
     """openaimodel.py:116-232, plain variant (no scale-shift norm, no
     in-block up/down — no shipped GLIGEN config uses those)."""
@@ -82,6 +124,8 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
+        if _fused_conv_enabled():
+            return self._fused(x, emb, in_ch)
         h = GroupNorm32(name="in_layers_0", act="silu")(x)
         h = _conv(self.out_channels, 3, "in_layers_2", dtype=self.dtype)(h)
 
@@ -96,6 +140,30 @@ class ResBlock(nn.Module):
         if in_ch != self.out_channels:
             x = _conv(self.out_channels, 1, "skip_connection", dtype=self.dtype)(x)
         return x + h
+
+    def _fused(self, x, emb, in_ch):
+        """Both GN->SiLU->conv3x3 chains as single Pallas passes; the
+        residual add rides the second kernel's epilogue."""
+        from gligen_tpu.models.layers import _interpret
+        from gligen_tpu.ops.pallas_conv import gn_silu_conv3x3
+
+        interp = _interpret()
+        s1, b1 = _GNParams(in_ch, name="in_layers_0")()
+        k1, kb1 = _Conv3Params(in_ch, self.out_channels, name="in_layers_2")()
+        h = gn_silu_conv3x3(x, s1, b1, k1, kb1, interpret=interp)
+
+        emb_out = nn.Dense(
+            self.out_channels, name="emb_layers_1", dtype=self.dtype, param_dtype=jnp.float32
+        )(nn.silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+
+        s2, b2 = _GNParams(self.out_channels, name="out_layers_0")()
+        k2, kb2 = _Conv3Params(
+            self.out_channels, self.out_channels, zero_init=True, name="out_layers_3"
+        )()
+        if in_ch != self.out_channels:
+            x = _conv(self.out_channels, 1, "skip_connection", dtype=self.dtype)(x)
+        return gn_silu_conv3x3(h, s2, b2, k2, kb2, residual=x, interpret=interp)
 
 
 class Downsample(nn.Module):
