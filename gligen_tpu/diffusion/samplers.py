@@ -140,7 +140,9 @@ def plms_sample(
     x0: Optional[jax.Array] = None,
     blend_rng: Optional[jax.Array] = None,
     eps_fn_gate0: Optional[EpsFn] = None,
-) -> jax.Array:
+    phase: str = "all",
+    carry_in: Optional[tuple] = None,
+):
     """PLMS sampling (plms.py:66-162). Returns the final latent.
 
     x_init: (B, H, W, C) starting noise.  mask/x0 enable inpainting; the
@@ -154,6 +156,14 @@ def plms_sample(
     compute for 70% of the steps; the reference computes it and
     multiplies by zero (plms.py:86-89).  When given, the scan splits into
     a gated phase and a fuser-free phase at the (static) gate-zero index.
+
+    ``phase``: 'all' (default) runs both phases and returns the final
+    latent.  'head' runs the peeled bootstrap + the gated phase only and
+    returns the ``(x, eps_history)`` carry; 'tail' resumes from
+    ``carry_in`` and runs the fuser-free phase (eps_fn may be None).  The
+    head/tail split lets the pipeline compile the two phases as SEPARATE
+    XLA programs: the tail touches no grounding tokens, so one compiled
+    tail serves every tokenizer modality (warmup cost amortization).
     """
     tables = SamplerTables.create(
         schedule, steps, eta=0.0, alpha_stages=alpha_stages,
@@ -189,16 +199,6 @@ def plms_sample(
         )
         return x_prev
 
-    # ---- peeled step 0: pseudo improved Euler (Heun) bootstrap ----
-    fn0 = eps_fn if k0 > 0 else eps_fn_gate0
-    x = maybe_blend(x_init.astype(jnp.float32), 0)
-    e_t = model_with(fn0, x, 0, ts)
-    x_mid = step_update(x, e_t, 0)
-    e_next = model_with(fn0, x_mid, 0, ts_next)
-    x = step_update(x, (e_t + e_next) / 2.0, 0)
-    # history: most recent first
-    hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
-
     coeffs = jnp.asarray(_AB_COEFFS)
 
     def make_body(fn):
@@ -215,10 +215,32 @@ def plms_sample(
 
         return body
 
+    split = max(k0, 1)  # step 0 is peeled below
+
+    if phase == "tail":
+        assert carry_in is not None, "phase='tail' requires carry_in"
+        carry = carry_in
+        if split < steps:
+            carry, _ = jax.lax.scan(
+                make_body(eps_fn_gate0), carry, jnp.arange(split, steps)
+            )
+        return carry[0]
+
+    # ---- peeled step 0: pseudo improved Euler (Heun) bootstrap ----
+    fn0 = eps_fn if k0 > 0 else eps_fn_gate0
+    x = maybe_blend(x_init.astype(jnp.float32), 0)
+    e_t = model_with(fn0, x, 0, ts)
+    x_mid = step_update(x, e_t, 0)
+    e_next = model_with(fn0, x_mid, 0, ts_next)
+    x = step_update(x, (e_t + e_next) / 2.0, 0)
+    # history: most recent first
+    hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
+
     carry = (x, hist)
-    split = max(k0, 1)  # step 0 is peeled above
     if split > 1:
         carry, _ = jax.lax.scan(make_body(eps_fn), carry, jnp.arange(1, split))
+    if phase == "head":
+        return carry
     if split < steps:
         carry, _ = jax.lax.scan(make_body(eps_fn_gate0), carry, jnp.arange(split, steps))
     return carry[0]

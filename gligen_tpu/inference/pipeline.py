@@ -197,7 +197,16 @@ class GenerationPipeline:
             noise is not None,
         )
         if statics not in self._compiled:
-            self._compiled[statics] = self._build(statics)
+            import os
+
+            split = (
+                os.environ.get("GLIGEN_TPU_SPLIT_PROGRAMS", "0") == "1"
+                and sampler == "plms"
+                and self.mesh is None
+            )
+            self._compiled[statics] = (
+                self._build_split(statics) if split else self._build(statics)
+            )
         fn = self._compiled[statics]
 
         args = dict(
@@ -217,103 +226,137 @@ class GenerationPipeline:
         return fn(self.params, rng, args)
 
     # ---- program construction ----
-    def _build(self, statics):
+    def _make_cond(self, statics, params, rng, args):
+        """Loop-invariant conditioning: text context, grounding tokens
+        (incl. the CFG null pair), downsampler features, inpaint latents,
+        starting noise.  Shared by the 1- and 2-program builds."""
         (steps, scale, sampler, alpha_stages, has_extra, has_inpaint,
          latent_size, b, has_noise) = statics
         c = self.c
         use_cfg = scale != 1.0
 
-        def program(params, rng, args):
-            k_noise, k_enc, k_blend = jax.random.split(rng, 3)
-            context = c.text_encoder.apply(
-                {"params": params["text_encoder"]}, args["input_ids"],
-                method=c.text_encoder.encode,
-            )
-            uc = c.text_encoder.apply(
-                {"params": params["text_encoder"]}, args["uc_input_ids"],
-                method=c.text_encoder.encode,
-            )
-            grounding = args["grounding"]
-            g_extra = args.get("grounding_extra")
+        k_noise, k_enc, k_blend = jax.random.split(rng, 3)
+        context = c.text_encoder.apply(
+            {"params": params["text_encoder"]}, args["input_ids"],
+            method=c.text_encoder.encode,
+        )
+        uc = c.text_encoder.apply(
+            {"params": params["text_encoder"]}, args["uc_input_ids"],
+            method=c.text_encoder.encode,
+        )
+        grounding = args["grounding"]
+        g_extra = args.get("grounding_extra")
 
-            mask = x0 = inpaint_extra = None
-            if has_inpaint:
-                z0 = c.vae.apply(
-                    {"params": params["autoencoder"]}, args["inpaint_image"], k_enc,
-                    method=c.vae.encode,
-                )
-                mask = args["inpaint_mask"].astype(jnp.float32)
-                x0 = z0
-                inpaint_extra = jnp.concatenate([z0 * mask, mask], axis=-1)
-
-            # Grounding tokens + downsampler features are loop-invariant:
-            # compute them ONCE here (incl. the CFG null pair), outside the
-            # denoise scan — the reference recomputes the position net
-            # (ConvNeXt for spatial modes) on every one of its ~101 calls.
-            dummy_x = jnp.zeros((b, latent_size, latent_size, 4))
-            dummy_t = jnp.zeros((b,), jnp.int32)
-            tokens = lambda g: c.unet.apply(
-                {"params": params["model"]}, dummy_x, dummy_t, context, g,
-                grounding_extra=g_extra, tokens_only=True,
+        mask = x0 = inpaint_extra = None
+        if has_inpaint:
+            z0 = c.vae.apply(
+                {"params": params["autoencoder"]}, args["inpaint_image"], k_enc,
+                method=c.vae.encode,
             )
-            objs_c, ds_feat = tokens(grounding)
-            objs_u, _ = tokens({k: jnp.zeros_like(v) for k, v in grounding.items()})
+            mask = args["inpaint_mask"].astype(jnp.float32)
+            x0 = z0
+            inpaint_extra = jnp.concatenate([z0 * mask, mask], axis=-1)
 
+        # Grounding tokens + downsampler features are loop-invariant:
+        # compute them ONCE here (incl. the CFG null pair), outside the
+        # denoise scan — the reference recomputes the position net
+        # (ConvNeXt for spatial modes) on every one of its ~101 calls.
+        dummy_x = jnp.zeros((b, latent_size, latent_size, 4))
+        dummy_t = jnp.zeros((b,), jnp.int32)
+        tokens = lambda g: c.unet.apply(
+            {"params": params["model"]}, dummy_x, dummy_t, context, g,
+            grounding_extra=g_extra, tokens_only=True,
+        )
+        objs_c, ds_feat = tokens(grounding)
+        objs_u, _ = tokens({k: jnp.zeros_like(v) for k, v in grounding.items()})
+
+        cond = dict(mask=mask, x0=x0, k_blend=k_blend)
+        if use_cfg:
             # CFG pair batched into one 2B UNet call (plms.py:116-122 done
             # as data parallel within the batch rather than two dispatches).
-            if use_cfg:
-                ctx2 = jnp.concatenate([context, uc], axis=0)
-                objs2 = jnp.concatenate([objs_c, objs_u], axis=0)
-                ds2 = jnp.concatenate([ds_feat, ds_feat], axis=0) if has_extra else None
-                ie2 = (
-                    jnp.concatenate([inpaint_extra, inpaint_extra], axis=0)
-                    if has_inpaint else None
-                )
-
-                def make_eps_fn(skip):
-                    def eps_fn(x, t, gate, use_sd):
-                        x2 = jnp.concatenate([x, x], axis=0)
-                        t2 = jnp.concatenate([t, t], axis=0)
-                        e = c.unet.apply(
-                            {"params": params["model"]}, x2, t2, ctx2,
-                            gate_scale=gate, use_sd_conv=use_sd,
-                            objs=objs2, grounding_extra_features=ds2,
-                            inpainting_extra=ie2, skip_fusers=skip,
-                        )
-                        e_c, e_u = jnp.split(e, 2, axis=0)
-                        return e_u + scale * (e_c - e_u)
-
-                    return eps_fn
-
-                eps_fn = make_eps_fn(False)
-            else:
-
-                def make_eps_fn(skip):
-                    def eps_fn(x, t, gate, use_sd):
-                        return c.unet.apply(
-                            {"params": params["model"]}, x, t, context,
-                            gate_scale=gate, use_sd_conv=use_sd,
-                            objs=objs_c, grounding_extra_features=ds_feat,
-                            inpainting_extra=inpaint_extra, skip_fusers=skip,
-                        )
-
-                    return eps_fn
-
-                eps_fn = make_eps_fn(False)
-
-            # gate==0 tail of the alpha schedule: the gated fusers are the
-            # identity — run a statically fuser-free UNet there (exact;
-            # gatedSA2 is excluded since it never gates, layers.py).
-            eps_fn0 = (
-                make_eps_fn(True)
-                if c.unet.fuser_type in ("gatedSA", "gatedCA")
-                else None
+            cond["ctx"] = jnp.concatenate([context, uc], axis=0)
+            cond["objs"] = jnp.concatenate([objs_c, objs_u], axis=0)
+            cond["ds"] = jnp.concatenate([ds_feat, ds_feat], axis=0) if has_extra else None
+            cond["ie"] = (
+                jnp.concatenate([inpaint_extra, inpaint_extra], axis=0)
+                if has_inpaint else None
             )
+        else:
+            cond["ctx"] = context
+            cond["objs"] = objs_c
+            cond["ds"] = ds_feat if has_extra else None
+            cond["ie"] = inpaint_extra
 
-            if has_noise:
-                noise = args["noise"]
-            else:
-                noise = jax.random.normal(k_noise, (b, latent_size, latent_size, 4))
+        if has_noise:
+            cond["noise"] = args["noise"]
+        else:
+            cond["noise"] = jax.random.normal(k_noise, (b, latent_size, latent_size, 4))
+        return cond
+
+    def _make_eps_fns(self, statics, params, cond):
+        """(eps_fn, eps_fn_gate0) closures over prepared conditioning.
+        eps_fn_gate0 (the statically fuser-free UNet for the alpha
+        schedule's zero tail) reads NO grounding tokens — it is what lets
+        the tail compile as a modality-independent program."""
+        scale = statics[1]
+        c = self.c
+        use_cfg = scale != 1.0
+
+        if use_cfg:
+            # "objs" is absent in the tail program's aux: the fuser-free
+            # UNet never reads grounding tokens
+            ctx2, objs2, ds2, ie2 = cond["ctx"], cond.get("objs"), cond["ds"], cond["ie"]
+
+            def make_eps_fn(skip):
+                def eps_fn(x, t, gate, use_sd):
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    e = c.unet.apply(
+                        {"params": params["model"]}, x2, t2, ctx2,
+                        gate_scale=gate, use_sd_conv=use_sd,
+                        objs=None if skip else objs2,
+                        grounding_extra_features=ds2,
+                        inpainting_extra=ie2, skip_fusers=skip,
+                    )
+                    e_c, e_u = jnp.split(e, 2, axis=0)
+                    return e_u + scale * (e_c - e_u)
+
+                return eps_fn
+        else:
+
+            def make_eps_fn(skip):
+                def eps_fn(x, t, gate, use_sd):
+                    return c.unet.apply(
+                        {"params": params["model"]}, x, t, cond["ctx"],
+                        gate_scale=gate, use_sd_conv=use_sd,
+                        objs=None if skip else cond.get("objs"),
+                        grounding_extra_features=cond["ds"],
+                        inpainting_extra=cond["ie"], skip_fusers=skip,
+                    )
+
+                return eps_fn
+
+        eps_fn = make_eps_fn(False)
+        # gate==0 tail of the alpha schedule: the gated fusers are the
+        # identity — run a statically fuser-free UNet there (exact;
+        # gatedSA2 is excluded since it never gates, layers.py).
+        eps_fn0 = (
+            make_eps_fn(True)
+            if c.unet.fuser_type in ("gatedSA", "gatedCA")
+            else None
+        )
+        return eps_fn, eps_fn0
+
+    def _build(self, statics):
+        (steps, scale, sampler, alpha_stages, has_extra, has_inpaint,
+         latent_size, b, has_noise) = statics
+        c = self.c
+
+        def program(params, rng, args):
+            cond = self._make_cond(statics, params, rng, args)
+            eps_fn, eps_fn0 = self._make_eps_fns(statics, params, cond)
+            mask, x0, k_blend = cond["mask"], cond["x0"], cond["k_blend"]
+
             common = dict(
                 steps=steps,
                 alpha_stages=alpha_stages,
@@ -323,12 +366,12 @@ class GenerationPipeline:
             )
             if sampler == "plms":
                 z = plms_sample(
-                    eps_fn, c.schedule, noise,
+                    eps_fn, c.schedule, cond["noise"],
                     blend_rng=k_blend if has_inpaint else None,
                     eps_fn_gate0=eps_fn0, **common,
                 )
             elif sampler == "ddim":
-                z = ddim_sample(eps_fn, c.schedule, noise, rng=k_blend,
+                z = ddim_sample(eps_fn, c.schedule, cond["noise"], rng=k_blend,
                                 eps_fn_gate0=eps_fn0, **common)
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
@@ -337,3 +380,78 @@ class GenerationPipeline:
             return jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
 
         return jax.jit(program)
+
+    def _build_split(self, statics):
+        """Two-program build (GLIGEN_TPU_SPLIT_PROGRAMS=1, PLMS only):
+
+          head = conditioning + peeled Heun + gated-phase scan
+          tail = fuser-free-phase scan + VAE decode
+
+        The tail never touches grounding tokens, so ONE compiled tail
+        serves every tokenizer modality at a given (batch, resolution,
+        steps, alpha, guidance) — serving warmup compiles N heads + 1
+        tail instead of N full programs.  Async dispatch chains the two
+        programs without a host round trip between them."""
+        (steps, scale, sampler, alpha_stages, has_extra, has_inpaint,
+         latent_size, b, has_noise) = statics
+        c = self.c
+        common = dict(
+            steps=steps,
+            alpha_stages=alpha_stages,
+            first_conv_restorable=c.unet.first_conv_restorable,
+        )
+
+        def head(params, rng, args):
+            cond = self._make_cond(statics, params, rng, args)
+            eps_fn, eps_fn0 = self._make_eps_fns(statics, params, cond)
+            carry = plms_sample(
+                eps_fn, c.schedule, cond["noise"],
+                blend_rng=cond["k_blend"] if has_inpaint else None,
+                eps_fn_gate0=eps_fn0, mask=cond["mask"], x0=cond["x0"],
+                phase="head", **common,
+            )
+            if eps_fn0 is None:
+                # no skippable fuser -> the head ran every step; carry[0]
+                # is final and the tail is decode-only
+                return carry, None
+            aux = {k: cond[k] for k in ("ctx", "ds", "ie", "mask", "x0", "k_blend")}
+            return carry, aux
+
+        # The tail program's key EXCLUDES modality statics wherever they
+        # don't reach it; jit's shape cache handles the rest (e.g. the
+        # 1-ch vs 8-ch downsampler feature arrays retrace automatically).
+        tail_key = ("__tail__", steps, scale, alpha_stages, latent_size, b)
+        if tail_key not in self._compiled:
+
+            @jax.jit
+            def tail(params, carry, aux):
+                if aux is not None:
+                    # inpaint presence must come from aux's own structure:
+                    # the cached tail is shared across statics that differ
+                    # only in modality (jit retraces on the new pytree)
+                    inpaint_t = aux["mask"] is not None
+                    _, eps_fn0 = self._make_eps_fns(statics, params, aux)
+                    z = plms_sample(
+                        None, c.schedule, carry[0],
+                        blend_rng=aux["k_blend"] if inpaint_t else None,
+                        eps_fn_gate0=eps_fn0, mask=aux["mask"], x0=aux["x0"],
+                        phase="tail", carry_in=carry, **common,
+                    )
+                else:
+                    z = carry[0]
+                img = c.vae.apply({"params": params["autoencoder"]}, z, method=c.vae.decode)
+                return jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
+
+            self._compiled[tail_key] = tail
+        tail = self._compiled[tail_key]
+        head = jax.jit(head)
+        # introspection (tests/warmup): per-statics (head, shared tail)
+        if not hasattr(self, "_split_parts"):
+            self._split_parts = {}
+        self._split_parts[statics] = (head, tail)
+
+        def run(params, rng, args):
+            carry, aux = head(params, rng, args)
+            return tail(params, carry, aux)
+
+        return run

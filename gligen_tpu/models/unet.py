@@ -259,7 +259,10 @@ class UNetModel(nn.Module):
         returns (objs, ds_features)) and pass them back, hoisting the
         position net / ConvNeXt out of the 50-step loop."""
         assert self.fuser_type in ("gatedSA", "gatedSA2", "gatedCA")
-        if objs is None:
+        if objs is None and not (skip_fusers and grounding is None):
+            # a statically fuser-free call (skip_fusers) never reads the
+            # grounding tokens — callers may omit both objs and grounding
+            # (the split tail program does)
             tok_cfg = self.grounding_tokenizer or {"target": "text", "params": {}}
             position_net = GROUNDING_NETS.get(tok_cfg["target"])(
                 **tok_cfg.get("params", {}), name="position_net", dtype=self.dtype

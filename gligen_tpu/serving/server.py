@@ -530,7 +530,17 @@ def main(argv=None):
         help="cross-request micro-batching window (0 disables); concurrent "
         "compatible requests fuse into one padded TPU batch",
     )
+    p.add_argument(
+        "--split_programs", action="store_true",
+        help="compile the gated head and fuser-free tail as separate XLA "
+        "programs: one tail serves every grounding modality at a given "
+        "(batch, resolution), cutting multi-modality warmup compile time",
+    )
     args = p.parse_args(argv)
+    if args.split_programs:
+        import os
+
+        os.environ["GLIGEN_TPU_SPLIT_PROGRAMS"] = "1"
 
     from gligen_tpu.data.tokenizer import load_tokenizer
     from gligen_tpu.inference.cli import FeatureExtractor, build_pipeline

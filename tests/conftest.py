@@ -48,6 +48,9 @@ HEAVY = {
     ("test_tp_sharding", "test_tp_forward_matches_replicated"),         # 41 s
     ("test_train_multidevice", "test_ema_save_restore_resume_roundtrip"),  # 31 s
     ("test_pipeline_e2e", "test_pipeline_sharded_matches_single_device"),  # 29 s
+    ("test_split_programs", "test_split_matches_single_program"),       # 143 s
+    ("test_split_programs", "test_split_tail_shared_across_grounding_shapes"),
+    ("test_split_programs", "test_split_no_gate_schedule"),
     ("test_fused_proj", "test_block_fused_gradients_match_plain"),      # 28 s
     ("test_pipeline_inpaint", "test_pipeline_ddim_sampler"),            # 27 s
     ("test_unet", "test_unet_eps_parity"),                              # 25 s
