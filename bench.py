@@ -41,6 +41,10 @@ def main():
     )
     ap.add_argument("--smoke", action="store_true", help="tiny fast run for verification")
     ap.add_argument(
+        "--latent", type=int, default=64,
+        help="latent size (output = 8x: 64 -> 512^2, 128 -> 1024^2)",
+    )
+    ap.add_argument(
         "--bf16_params", action="store_true",
         help="cast matrix/conv params to bf16 (halves weight HBM traffic; "
         "norm scales/biases stay fp32)",
@@ -92,7 +96,7 @@ def main():
         img = pipe.generate(
             ids, uc_ids, grounding,
             steps=args.steps, guidance_scale=7.5, sampler="plms",
-            alpha_stages=alpha_stages,
+            alpha_stages=alpha_stages, latent_size=args.latent,
             rng=jax.random.PRNGKey(seed),
         )
         jax.block_until_ready(img)

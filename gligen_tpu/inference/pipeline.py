@@ -249,7 +249,15 @@ class GenerationPipeline:
 
         mask = x0 = inpaint_extra = None
         if has_inpaint:
-            z0 = c.vae.apply(
+            # VAE encode always runs fp32, independent of the serving dtype:
+            # the per-step latent blend pins known-region latents to
+            # q_sample(z0, t) (plms.py:96-100), so encode rounding lands in
+            # the output verbatim.  Measured (fidelity gate, r3): bf16
+            # encode costs LPIPS 0.036-0.048 on the inpainting scenarios —
+            # over the 0.025 serving half-budget — while bf16 DECODE costs
+            # ~0.001 everywhere.  Encode runs once per request; fp32 here
+            # is free.
+            z0 = c.vae.clone(dtype=jnp.float32).apply(
                 {"params": params["autoencoder"]}, args["inpaint_image"], k_enc,
                 method=c.vae.encode,
             )

@@ -59,6 +59,15 @@ SCENARIOS = [
 def run_arm(name: str, env_extra: dict, dtype: str, out_dir: str,
             steps: int, batch: int, seed: int,
             scenarios: str | None = None) -> None:
+    # the CLI APPENDS into existing scenario folders (reference-style
+    # numbering, cli.py save path start+i) — clean the target scenario
+    # dirs first so a re-run can't leave stale images for the scorer
+    import shutil
+
+    for sc in (scenarios.split(",") if scenarios else SCENARIOS):
+        d = os.path.join(out_dir, sc.strip())
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     env = dict(os.environ)
     env.update(env_extra)
     cmd = [
@@ -143,6 +152,9 @@ def main() -> None:
             run_arm("bf16", ARM_B_ENV, "bfloat16", os.path.join(out_root, "bf16"),
                     args.steps, args.batch, args.seed, args.scenarios)
 
+    # scoring is pure host work; never let it claim (or hang on) the TPU —
+    # must happen AFTER the arms (their env copies need the real platform)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     results = score(out_root, args.clip_vision_ckpt)
     path = os.path.join(out_root, "fidelity.json")
     with open(path, "w") as f:
