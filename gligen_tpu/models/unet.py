@@ -124,7 +124,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
-        if _fused_conv_enabled():
+        # per-shape qualification: the Pallas kernel needs W % 8 == 0
+        # (sublane granularity).  512²/1024² latents qualify at every UNet
+        # level, but e.g. 768² reaches W=12 at level 3 — those blocks fall
+        # back to the XLA path (identical param tree, so mixing is safe).
+        if _fused_conv_enabled() and x.shape[2] % 8 == 0:
             return self._fused(x, emb, in_ch)
         h = GroupNorm32(name="in_layers_0", act="silu")(x)
         h = _conv(self.out_channels, 3, "in_layers_2", dtype=self.dtype)(h)

@@ -187,7 +187,9 @@ def gn_silu_conv3x3(
     (the ResBlock skip — saves one HBM round trip of the block output).
     Returns (B, H, W, F) in x.dtype.  Differentiable (reference-chain
     VJP).  W must be a multiple of 8 (sublane granularity of the
-    flattened (H*W, C) matmul view) — every UNet feature map qualifies.
+    flattened (H*W, C) matmul view) — 512²/1024² UNet feature maps all
+    qualify, but other legal resolutions may not at deep levels (768² →
+    W=12 at level 3); ResBlock routes those to the XLA path per-shape.
     """
     assert x.shape[2] % 8 == 0, f"W={x.shape[2]} must be a multiple of 8"
     a, v = gn_affine(x, scale, bias, num_groups=num_groups, eps=eps)

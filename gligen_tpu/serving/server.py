@@ -234,6 +234,7 @@ class ServingSession:
         self.default_steps = default_steps
         self._lock = threading.Lock()
         self.ready = True  # flips False while a warmup pass is running
+        self.warmup_error: str | None = None
         self.batcher = (
             MicroBatcher(pipeline, self._lock, window_ms=batch_window_ms)
             if batch_window_ms > 0 else None
@@ -255,18 +256,40 @@ class ServingSession:
             try:
                 for res in resolutions:
                     for b in sorted(set(buckets)):
-                        self.generate({
-                            "prompt": "", "batch_size": int(b),
-                            "resolution": int(res), "seed": 0,
-                        })
-            finally:
+                        self.generate(self._warmup_request(int(b), int(res)))
                 self.ready = True
+                self.warmup_error = None
+            except Exception as e:  # noqa: BLE001 — /ready must report it
+                # do NOT flip ready: a load balancer must not route to a
+                # server whose programs never compiled
+                self.warmup_error = f"{type(e).__name__}: {e}"
 
         self.ready = False
+        self.warmup_error = None
         if background:
             threading.Thread(target=run, daemon=True).start()
         else:
             run()
+
+    def _warmup_request(self, batch: int, resolution: int) -> Dict[str, Any]:
+        """A minimal valid /generate body for this server's modality —
+        warmup must exercise the SAME program a real request compiles, and
+        keypoint/spatial models reject a bare-prompt request."""
+        inst: Dict[str, Any] = {
+            "prompt": "", "batch_size": batch,
+            "resolution": resolution, "seed": 0,
+        }
+        mod = self._modality()
+        if mod == "keypoint":
+            inst["keypoints"] = [[[0.5, 0.5]] * 17]
+        elif mod not in ("text", "text_image"):
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("L" if mod == "sem" else "RGB", (512, 512)).save(
+                buf, format="PNG")
+            inst["map_image"] = base64.b64encode(buf.getvalue()).decode()
+        return inst
 
     # ---- modality dispatch -------------------------------------------
     def _modality(self) -> str:
@@ -410,8 +433,14 @@ class ServingSession:
         # Reference demo defaults (demo/app.py:184,191 with slider tau=0.3):
         # generation [tau, 0, 1-tau]; inpainting holds the gate at 1.
         default_alpha = [1.0, 0.0, 0.0] if inpaint_image is not None else [0.3, 0.0, 0.7]
+        steps = int(inst.get("steps", self.default_steps))
+        if not 1 <= steps <= 500:
+            # past T/2 the uniform c = T//S subset degenerates to c=1 and
+            # ACTUALLY runs 999 UNet steps whatever S says (schedule.py) —
+            # refuse rather than silently billing 2x the requested compute
+            raise ValueError(f"steps must be in [1, 500], got {steps}")
         run_kwargs = dict(
-            steps=int(inst.get("steps", self.default_steps)),
+            steps=steps,
             guidance_scale=float(inst.get("guidance_scale", 7.5)),
             alpha_stages=inst.get("alpha_type", default_alpha),
             latent_size=latent,
@@ -470,6 +499,9 @@ def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860
                 # requested serving program (load balancers gate on this)
                 if session.ready:
                     self._send(200, {"status": "ready"})
+                elif session.warmup_error:
+                    self._send(503, {"status": "warmup_failed",
+                                     "error": session.warmup_error})
                 else:
                     self._send(503, {"status": "warming"})
             elif self.path in ("/", "/index.html"):

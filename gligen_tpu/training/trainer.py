@@ -265,8 +265,15 @@ class Trainer:
                 q.put(batch)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            yield q.get()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            # generator close/GC must not leak the fork pool: each worker
+            # holds a COW image of the parent (JAX runtime, params)
+            if pool is not None:
+                pool.terminate()
+                pool.join()
 
     def collate(self, items) -> Dict[str, Any]:
         captions = [it["caption"] for it in items]

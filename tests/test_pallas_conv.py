@@ -123,3 +123,22 @@ def test_resblock_fused_param_tree_and_output(monkeypatch):
         assert va.shape == vb.shape, (pa, va.shape, vb.shape)
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_resblock_unqualified_width_falls_back(monkeypatch):
+    """Shapes the kernel can't take (W % 8 != 0 — e.g. 768² serving reaches
+    W=12 at UNet level 3) must route to the XLA path per-shape instead of
+    assert-crashing inside the jitted program."""
+    from gligen_tpu.models.unet import ResBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 12, 12, 64)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    block = ResBlock(out_channels=64)
+    params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+    want = block.apply({"params": params}, x, emb)
+
+    monkeypatch.setenv("GLIGEN_TPU_FUSED_CONV", "1")
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_INTERPRET", "1")
+    got = block.apply({"params": params}, x, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)

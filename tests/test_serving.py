@@ -481,3 +481,43 @@ def test_warmup_and_ready_endpoint():
     # every (bucket, resolution) shape was driven through the real path
     shapes = set(pipe.calls)
     assert {(1, 64), (2, 64), (1, 128), (2, 128)} <= shapes, shapes
+
+
+def test_warmup_builds_valid_request_per_modality():
+    """Warmup must exercise the real program for keypoint/spatial models —
+    a bare-prompt request raises 'POST keypoints/map_image' and previously
+    killed the warmup thread while /ready still flipped to 200."""
+    for mod in ("keypoint", "hed", "sem", "depth"):
+        session = _session(mod)
+        session.warmup(buckets=(1,), resolutions=(512,))
+        assert session.ready, mod
+        assert session.warmup_error is None, (mod, session.warmup_error)
+        assert session.pipe.last_kwargs is not None, mod
+
+
+def test_warmup_failure_reports_not_ready():
+    """A crashed warmup must NOT report ready (the load balancer would
+    route to a server with zero compiled programs)."""
+    session = _session()
+
+    def boom(*a, **kw):
+        raise RuntimeError("compile exploded")
+
+    session.pipe.generate = boom
+    session.warmup(buckets=(1,), resolutions=(512,))
+    assert not session.ready
+    assert "compile exploded" in session.warmup_error
+
+
+def test_steps_over_500_rejected():
+    """steps > 500 degenerates to c=1 → 999 actual UNet steps (schedule.py
+    c = T//S subset); serving refuses instead of silently running 2x the
+    requested compute."""
+    import pytest
+
+    session = _session()
+    with pytest.raises(ValueError, match=r"\[1, 500\]"):
+        session.generate({"prompt": "x", "steps": 600})
+    # boundary stays accepted
+    session.generate({"prompt": "x", "steps": 500})
+    assert session.pipe.last_kwargs["steps"] == 500

@@ -396,3 +396,35 @@ def test_worker_pool_parallel_decode():
     # serial: 8 x 50 ms = 400 ms/batch; 4 workers: ~100 ms/batch. Use a
     # generous margin — CI hosts run this under load.
     assert t4 < t1 * 0.6, (t1, t4)
+
+
+def test_worker_pool_released_on_generator_close():
+    """Closing the batches() generator must terminate the fork pool —
+    each leaked worker holds a COW image of the parent process."""
+    import multiprocessing as mp
+    import time as _time
+
+    from gligen_tpu.training.trainer import Trainer
+
+    class TinyDataset:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"v": i}
+
+    class FakeTrainer:
+        global_batch = 4
+        collate = staticmethod(lambda items: {"n": len(items)})
+
+    fake = FakeTrainer()
+    fake.run = TrainerConfig(workers=2)
+    before = len(mp.active_children())
+    gen = Trainer.batches(fake, TinyDataset(), prefetch=1)
+    assert next(gen)["n"] == 4
+    assert len(mp.active_children()) > before  # pool is alive
+    gen.close()
+    deadline = _time.monotonic() + 5
+    while _time.monotonic() < deadline and len(mp.active_children()) > before:
+        _time.sleep(0.05)
+    assert len(mp.active_children()) <= before, "fork pool leaked"
