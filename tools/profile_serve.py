@@ -21,7 +21,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(outdir: str, batch: int, steps: int) -> None:
+def capture(outdir: str, batch: int, steps: int, latent: int = 64,
+            alpha=None) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +49,8 @@ def capture(outdir: str, batch: int, steps: int) -> None:
     def run(seed):
         img = pipe.generate(
             ids, ids.copy(), grounding, steps=steps, guidance_scale=7.5,
-            sampler="plms", rng=jax.random.PRNGKey(seed),
+            sampler="plms", latent_size=latent, alpha_stages=alpha,
+            rng=jax.random.PRNGKey(seed),
         )
         jax.block_until_ready(img)
 
@@ -153,13 +155,18 @@ def parse(outdir: str, top: int = 45) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--latent", type=int, default=64,
+                    help="latent size (128 = the 1024^2 serving point)")
+    ap.add_argument("--alpha", default=None,
+                    help="comma alpha stages, e.g. 0.3,0,0.7 (default: gate held at 1)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--outdir", default="/tmp/prof_serve")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=45)
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.outdir, args.batch, args.steps)
+        alpha = [float(x) for x in args.alpha.split(",")] if args.alpha else None
+        capture(args.outdir, args.batch, args.steps, args.latent, alpha)
     parse(args.outdir, args.top)
 
 
