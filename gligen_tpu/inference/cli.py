@@ -302,7 +302,12 @@ def build_pipeline(ckpt: str, args) -> "Any":
                 raise ValueError(f"train_ckpt param {path} not in model tree")
             flat[path] = jnp.asarray(val)
         comps.params["model"] = traverse.unflatten_dict(flat)
-    pipe = GenerationPipeline(comps)
+    mesh = None
+    if getattr(args, "data_parallel", False) and jax.device_count() > 1:
+        from gligen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # 1-D over every addressable chip; batch shards
+    pipe = GenerationPipeline(comps, mesh=mesh)
     # A real checkpoint with the hash-fallback tokenizer would silently
     # produce garbage conditioning: demand real vocab files (or an explicit
     # opt-in) whenever real weights are loaded.
@@ -545,6 +550,11 @@ def main(argv: Optional[List[str]] = None):
     )
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard the batch over all addressable chips (1-D mesh; "
+        "batch_size should be a multiple of the chip count)",
+    )
     parser.add_argument(
         "--train_ckpt", type=str, default=None,
         help="native training checkpoint (tag dir or checkpoint_<step>) whose "

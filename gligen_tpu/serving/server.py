@@ -563,6 +563,12 @@ def main(argv=None):
         "compatible requests fuse into one padded TPU batch",
     )
     p.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard the request batch over ALL addressable chips via a 1-D "
+        "mesh (v5e-8 BASELINE config); params replicate, batch rows ride "
+        "ICI — batch_size should be a multiple of the chip count",
+    )
+    p.add_argument(
         "--split_programs", action="store_true",
         help="compile the gated head and fuser-free tail as separate XLA "
         "programs: one tail serves every grounding modality at a given "
