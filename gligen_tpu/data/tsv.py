@@ -173,7 +173,17 @@ class TSVWriter:
 def decode_base64_image(image_b64: str):
     from PIL import Image
 
-    return Image.open(BytesIO(base64.b64decode(image_b64))).convert("RGB")
+    raw = base64.b64decode(image_b64)
+    # native libjpeg fast path (same accurate-IDCT pixels as PIL; parity
+    # pinned by tests/test_native_jpeg.py) — PIL for non-JPEG payloads or
+    # when the toolchain is absent
+    if raw[:2] == b"\xff\xd8":
+        from gligen_tpu.data.jpeg import decode_rgb
+
+        arr = decode_rgb(raw)
+        if arr is not None:
+            return Image.fromarray(arr, "RGB")
+    return Image.open(BytesIO(raw)).convert("RGB")
 
 
 def decode_base64_fp32(arr_str: str) -> np.ndarray:

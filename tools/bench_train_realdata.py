@@ -199,6 +199,14 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=24, help="input_only batch count")
     args = ap.parse_args()
 
+    if not args.train:
+        # --make/--input_only are host-only: force CPU through the config
+        # (the axon plugin ignores the JAX_PLATFORMS env var, and a plain
+        # import would claim — or hang on — the TPU)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if args.make:
         make_tsv(args.tsv, args.rows)
     if args.input_only:
