@@ -26,8 +26,12 @@ TPU serving (no gradio dependency in this image):
   -> {"images": [b64 png, ...], "latency_sec": t}
   GET /health -> {"status": "ok"}           (process liveness)
   GET /ready  -> 200 {"status": "ready"} | 503 {"status": "warming"}
+                 | 503 {"status": "warmup_failed", "error": ...}
      (readiness: ok once --warmup finished pre-compiling every requested
       serving program; load balancers should gate on this, not /health)
+  GET /metrics -> {"uptime_sec", "requests", "images", "errors",
+      "latency_p50_sec", "latency_p95_sec", "latency_max_sec", "ready"}
+     (operational counters; percentiles over the last 512 requests)
 
 Style grounding rides the reference's trick (demo/app.py:169-181): the
 style image is appended as an extra grounding slot with location
@@ -235,6 +239,12 @@ class ServingSession:
         self._lock = threading.Lock()
         self.ready = True  # flips False while a warmup pass is running
         self.warmup_error: str | None = None
+        self._metrics_lock = threading.Lock()
+        self._started = time.time()
+        self._requests = 0
+        self._images = 0
+        self._errors = 0
+        self._latencies: list = []  # ring of last 512 per-request latencies
         self.batcher = (
             MicroBatcher(pipeline, self._lock, window_ms=batch_window_ms)
             if batch_window_ms > 0 else None
@@ -472,10 +482,41 @@ class ServingSession:
                     **run_kwargs,
                 )
         images = np.asarray(images)
+        self._record(time.time() - t0, batch)
         return {
             "images": [_image_to_b64(img) for img in images],
             "latency_sec": round(time.time() - t0, 3),
         }
+
+    # ---- observability ------------------------------------------------
+    def _record(self, latency: float, n_images: int, error: bool = False):
+        with self._metrics_lock:
+            self._requests += 1
+            self._images += n_images
+            if error:
+                self._errors += 1
+            else:
+                self._latencies.append(latency)
+                if len(self._latencies) > 512:
+                    self._latencies = self._latencies[-512:]
+
+    def metrics(self) -> Dict[str, Any]:
+        """Operational counters for scrapers (GET /metrics)."""
+        with self._metrics_lock:
+            lats = sorted(self._latencies)
+            out = {
+                "uptime_sec": round(time.time() - self._started, 1),
+                "requests": self._requests,
+                "images": self._images,
+                "errors": self._errors,
+                "ready": self.ready,
+            }
+            if lats:
+                pick = lambda q: lats[min(len(lats) - 1, int(q * len(lats)))]
+                out["latency_p50_sec"] = round(pick(0.50), 3)
+                out["latency_p95_sec"] = round(pick(0.95), 3)
+                out["latency_max_sec"] = round(lats[-1], 3)
+            return out
 
 
 def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860):
@@ -494,6 +535,8 @@ def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._send(200, session.metrics())
             elif self.path == "/ready":
                 # distinct from /health: ok only once warmup compiled every
                 # requested serving program (load balancers gate on this)
@@ -525,6 +568,7 @@ def make_server(session: ServingSession, host: str = "0.0.0.0", port: int = 7860
                 inst = json.loads(self.rfile.read(length))
                 self._send(200, session.generate(inst))
             except Exception as e:  # noqa: BLE001 — surface to client
+                session._record(0.0, 0, error=True)
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -521,3 +521,31 @@ def test_steps_over_500_rejected():
     # boundary stays accepted
     session.generate({"prompt": "x", "steps": 500})
     assert session.pipe.last_kwargs["steps"] == 500
+
+
+def test_metrics_endpoint_counts_and_percentiles():
+    """GET /metrics reports request/image counters, error count, and
+    latency percentiles over the recent window."""
+    session = _session()
+    server = make_server(session, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=json.dumps(body).encode())
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post({"prompt": "a", "batch_size": 2}) == 200
+    assert post({"prompt": "b"}) == 200
+    assert post({"prompt": "c", "steps": 9999}) == 500  # counted as error
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+        m = json.load(r)
+    assert m["requests"] == 3 and m["images"] == 3 and m["errors"] == 1
+    assert m["latency_p50_sec"] >= 0 and m["latency_p95_sec"] >= m["latency_p50_sec"]
+    assert m["uptime_sec"] >= 0 and m["ready"] is True
