@@ -226,17 +226,29 @@ class Trainer:
         import threading
 
         pool = None
+        tpool = None
         if self.run.workers > 1:
-            import multiprocessing as mp
+            mode = os.environ.get("GLIGEN_TPU_DECODE_POOL", "fork")
+            if mode == "thread":
+                # Threads beat fork when JPEG decode dominates: the native
+                # decoder (data/jpeg.py) releases the GIL inside libjpeg,
+                # and threads pay no copy-on-write image of the JAX
+                # runtime.  Item transforms (numpy crop/flip) still hold
+                # the GIL — prefer fork when those dominate.
+                from concurrent.futures import ThreadPoolExecutor
 
-            # fork: the dataset rides into workers by address space, no
-            # pickling; TSVFile reopens per-PID so handles never race.
-            ctx = mp.get_context("fork")
-            pool = ctx.Pool(
-                self.run.workers,
-                initializer=_decode_worker_init,
-                initargs=(dataset, self.run.seed),
-            )
+                tpool = ThreadPoolExecutor(self.run.workers)
+            else:
+                import multiprocessing as mp
+
+                # fork: the dataset rides into workers by address space, no
+                # pickling; TSVFile reopens per-PID so handles never race.
+                ctx = mp.get_context("fork")
+                pool = ctx.Pool(
+                    self.run.workers,
+                    initializer=_decode_worker_init,
+                    initargs=(dataset, self.run.seed),
+                )
 
         def produce():
             # Same seed on every process -> identical permutation; each
@@ -253,27 +265,39 @@ class Trainer:
                     idx = [int(j) for j in order[i : i + bs][sl]]
                     if pool is not None:
                         items = pool.map(_decode_one, idx)
+                    elif tpool is not None:
+                        items = list(tpool.map(dataset.__getitem__, idx))
                     else:
                         items = [dataset[j] for j in idx]
                     yield self.collate(items)
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         src = produce()
+        closing = threading.Event()
 
         def worker():
-            for batch in src:
-                q.put(batch)
+            try:
+                for batch in src:
+                    q.put(batch)
+            except Exception:
+                # pool teardown races the in-flight map during generator
+                # close — expected then; anything else must surface
+                if not closing.is_set():
+                    raise
 
         threading.Thread(target=worker, daemon=True).start()
         try:
             while True:
                 yield q.get()
         finally:
-            # generator close/GC must not leak the fork pool: each worker
+            # generator close/GC must not leak the pools: each fork worker
             # holds a COW image of the parent (JAX runtime, params)
+            closing.set()
             if pool is not None:
                 pool.terminate()
                 pool.join()
+            if tpool is not None:
+                tpool.shutdown(wait=False, cancel_futures=True)
 
     def collate(self, items) -> Dict[str, Any]:
         captions = [it["caption"] for it in items]

@@ -428,3 +428,34 @@ def test_worker_pool_released_on_generator_close():
     while _time.monotonic() < deadline and len(mp.active_children()) > before:
         _time.sleep(0.05)
     assert len(mp.active_children()) <= before, "fork pool leaked"
+
+
+def test_thread_decode_pool_matches_serial(monkeypatch):
+    """GLIGEN_TPU_DECODE_POOL=thread parallelizes item decode on threads
+    (the native JPEG decoder releases the GIL) — identical shuffle order
+    and batch contents as the serial/fork paths."""
+    from gligen_tpu.training.trainer import Trainer
+
+    class TinyDataset:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"v": i}
+
+    class FakeTrainer:
+        global_batch = 4
+        collate = staticmethod(lambda items: {"idx": [it["v"] for it in items]})
+
+    def pull(workers):
+        fake = FakeTrainer()
+        fake.run = TrainerConfig(workers=workers)
+        gen = Trainer.batches(fake, TinyDataset(), prefetch=1)
+        out = [next(gen) for _ in range(4)]
+        gen.close()
+        return [b["idx"] for b in out]
+
+    serial = pull(workers=1)
+    monkeypatch.setenv("GLIGEN_TPU_DECODE_POOL", "thread")
+    threaded = pull(workers=4)
+    assert serial == threaded
