@@ -83,7 +83,7 @@ def _kernel(x_ref, a_ref, v_ref, w_ref, wb_ref, *rest, h, w, act):
     f = o_ref.shape[-1]
 
     xf = x_ref[0].astype(jnp.float32)              # (H, W, C)
-    xn = xf * a_ref[0][None, :] + v_ref[0][None, :]
+    xn = xf * a_ref[0] + v_ref[0]                  # a/v blocks are (1, 1, C)
     if act == "silu":
         xn = xn * jax.nn.sigmoid(xn)
     xn = xn.astype(x_ref.dtype)
@@ -122,11 +122,14 @@ def _ref_chain(x, a, v, wk, wb, res, act):
 def _fused(x, a, v, wk, wb, res, act, interpret):
     b, h, w, c = x.shape
     f = wk.shape[-1]
-    args = [x, a, v, wk, wb.reshape(1, f)]
+    # a/v ride as (B, 1, C) so the (1, 1, C) block's trailing dims equal
+    # the array dims — Mosaic requires trailing block dims be (8, 128)-
+    # divisible or full (a (1, C) block of a (B, C) array is neither).
+    args = [x, a.reshape(b, 1, c), v.reshape(b, 1, c), wk, wb.reshape(1, f)]
     in_specs = [
         pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda bi: (bi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda bi: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, c, f), lambda bi: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, f), lambda bi: (0, 0), memory_space=pltpu.VMEM),
     ]
