@@ -244,6 +244,28 @@ def dezero_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return traverse.unflatten_dict(out)
 
 
+def _vae_config_from_reference(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference AutoencoderKL config section -> our AutoencoderKL kwargs.
+
+    Checkpoints are self-describing (config rides inside,
+    gligen_inference.py:72-75): the first-stage hyperparameters live under
+    ``params.ddconfig`` (ch, ch_mult, ...) with embed_dim/scale_factor at
+    the params level.  Missing keys keep the SD-1.4 defaults."""
+    p = dict(cfg.get("params", {}) or {})
+    dd = dict(p.get("ddconfig", {}) or {})
+    out: Dict[str, Any] = {}
+    for k in ("embed_dim", "scale_factor"):
+        if k in p:
+            out[k] = p[k]
+    for k in ("ch", "num_res_blocks", "resolution", "z_channels", "out_ch"):
+        if k in dd:
+            out[k] = dd[k]
+    for k in ("ch_mult", "attn_resolutions"):
+        if k in dd:
+            out[k] = tuple(dd[k])
+    return out
+
+
 def build_pipeline(ckpt: str, args) -> "Any":
     import jax
     import jax.numpy as jnp
@@ -284,7 +306,16 @@ def build_pipeline(ckpt: str, args) -> "Any":
         model_params.pop("image_size", None)
         model_params.pop("use_checkpoint", None)
         # map reference dotted grounding targets through the registry aliases
-        comps = GligenComponents.create(unet_config=model_params, dtype=dtype)
+        comps = GligenComponents.create(
+            unet_config=model_params,
+            vae_config=_vae_config_from_reference(config.get("autoencoder", {})),
+            schedule_config={
+                k: v
+                for k, v in config.get("diffusion", {}).get("params", {}).items()
+                if k in ("timesteps", "linear_start", "linear_end")
+            },
+            dtype=dtype,
+        )
         comps.params.update(params)
     train_ckpt = getattr(args, "train_ckpt", None)
     if train_ckpt:

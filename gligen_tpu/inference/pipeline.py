@@ -45,19 +45,27 @@ class GligenComponents:
         dtype: jnp.dtype = jnp.bfloat16,
         rng: Optional[jax.Array] = None,
         latent_size: int = 64,
+        vae_config: Optional[Dict[str, Any]] = None,
+        schedule_config: Optional[Dict[str, Any]] = None,
     ) -> "GligenComponents":
-        """Random-init components with the SD-1.4 GLIGEN architecture
-        (configs/flickr_text.yaml).  Real weights come from the converter."""
+        """Components with the SD-1.4 GLIGEN architecture by default
+        (configs/flickr_text.yaml).  Real weights come from the converter.
+
+        ``vae_config``/``schedule_config`` override the AutoencoderKL /
+        DiffusionSchedule hyperparameters — checkpoints are self-describing
+        and the reference instantiates ALL FOUR modules from the embedded
+        config (gligen_inference.py:72-77), not just the UNet.  The random
+        ``rng`` init path assumes the default 8x VAE (latent 64 -> 512^2)."""
         unet_config = dict(unet_config or {})
         unet_config.setdefault("grounding_tokenizer", {"target": "text", "params": {}})
         # remat only pays off under grad; inference wants faster compile/run
         unet_config.setdefault("use_checkpoint", False)
         unet = UNetModel(dtype=dtype, **unet_config)
-        vae = AutoencoderKL(dtype=dtype)
+        vae = AutoencoderKL(dtype=dtype, **(vae_config or {}))
         text = CLIPTextModel(dtype=dtype)
-        schedule = DiffusionSchedule.create(
-            timesteps=1000, linear_start=0.00085, linear_end=0.012
-        )
+        sched_kwargs = dict(timesteps=1000, linear_start=0.00085, linear_end=0.012)
+        sched_kwargs.update(schedule_config or {})
+        schedule = DiffusionSchedule.create(**sched_kwargs)
         params = {}
         if rng is not None:
             k1, k2, k3 = jax.random.split(rng, 3)

@@ -41,6 +41,12 @@ def pytest_addoption(parser):
 # CI and judges can always run in full (VERDICT r2 weak #5).  Keyed by
 # (module basename, test function name) — parametrized cases inherit.
 HEAVY = {
+    # real .pth round trip: writes+loads a ~600 MB reference-format ckpt
+    # (full-scale CLIP text) and generates through build_pipeline/cli.run
+    ("test_real_checkpoint", "test_torch_file_loads_and_matches_in_memory_conversion"),
+    ("test_real_checkpoint", "test_use_ema_overlays_shadow_weights"),
+    ("test_real_checkpoint", "test_use_ema_without_ema_entry_fails_loudly"),
+    ("test_real_checkpoint", "test_build_pipeline_and_generate_from_torch_file"),
     ("test_pipeline_spatial", "test_spatial_pipeline_generates"),       # 226 s
     ("test_trainer", "test_trainer_spatial_modality_with_preview"),     # 134 s
     ("test_trainer", "test_ema_save_load_generate"),                    # 56 s
