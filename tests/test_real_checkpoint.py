@@ -222,6 +222,45 @@ def test_use_ema_without_ema_entry_fails_loudly(saved_ckpt, tmp_path):
         load_gligen_torch_checkpoint(stripped, use_ema=True)
 
 
+def test_official_sd_checkpoint_file_roundtrip(saved_ckpt, tmp_path):
+    """The trainer's other real-file entry point (official_ckpt_name ->
+    load_official_sd_checkpoint): an sd-v1-4.ckpt-format file — one flat
+    state_dict keyed by model.diffusion_model./first_stage_model./
+    cond_stage_model. prefixes (trainer.py:64-85) — written with
+    torch.save and split+converted on load."""
+    from gligen_tpu.training.checkpoints import load_official_sd_checkpoint
+
+    _, _, state = saved_ckpt
+    flat = {}
+    # official SD has no GLIGEN modules: drop fusers/position_net, as the
+    # real sd-v1-4.ckpt would
+    for k, v in state["model"].items():
+        if "fuser" in k or k.startswith("position_net"):
+            continue
+        flat[f"model.diffusion_model.{k}"] = v
+    for k, v in state["autoencoder"].items():
+        flat[f"first_stage_model.{k}"] = v
+    for k, v in state["text_encoder"].items():
+        flat[f"cond_stage_model.{k}"] = v  # already transformer.-prefixed
+    flat["model_ema.decay"] = torch.tensor(0.9999)  # routes to 'others'
+    path = str(tmp_path / "sd-v1-4.ckpt")
+    torch.save({"state_dict": flat, "global_step": 470000}, path)
+
+    params = load_official_sd_checkpoint(path)
+    want_model = convert_unet(
+        {k: v for k, v in state["model"].items()
+         if "fuser" not in k and not k.startswith("position_net")}
+    )
+    _assert_tree_equal(params["model"], want_model)
+    _assert_tree_equal(params["autoencoder"], convert_vae(state["autoencoder"]))
+    _assert_tree_equal(
+        params["text_encoder"],
+        convert_clip_text(
+            {k[len("transformer."):]: v for k, v in state["text_encoder"].items()}
+        ),
+    )
+
+
 class _Args:
     dtype = "float32"
     vocab_path = None
