@@ -72,17 +72,31 @@ def _conv(features: int, kernel: int, name: str, stride: int = 1, zero_init: boo
     )
 
 
-def _fused_conv_enabled() -> bool:
+# Shapes where the fused kernel beats XLA's conv emitter on TPU v5e,
+# measured isolated AND in 4-block chains (tools/bench_resblock.py,
+# 2026-08-18, CFG batch 16): (32², 640) fused 1.103 ms vs XLA 1.369 ms
+# (x4 chain: 4.94 vs 6.01 ms).  XLA wins at (64², 320) 1.30 vs 2.19,
+# (16², 1280) 1.45 vs 1.75, (8², 1280) 0.33 vs 0.45; (64², 640) is a
+# tie (5.78 vs 5.89).  Keyed by (H, out_channels).
+_FUSED_CONV_WINS = {(32, 640)}
+
+
+def _fused_conv_mode() -> str:
     """Route ResBlock GN->SiLU->conv3x3 chains through the fused Pallas
-    kernel (ops/pallas_conv.py).  Off by default until benched per
-    backend; the param tree is IDENTICAL either way."""
+    kernel (ops/pallas_conv.py).  GLIGEN_TPU_FUSED_CONV: '0' = XLA
+    everywhere, '1' = fused at every W%8==0 shape, 'auto' = fused only
+    at the measured-win shapes in _FUSED_CONV_WINS.  The param tree is
+    IDENTICAL either way, so mixing per shape is safe."""
     import os
 
     from gligen_tpu.models.layers import _interpret
 
-    if os.environ.get("GLIGEN_TPU_FUSED_CONV", "0") != "1":
-        return False
-    return jax.default_backend() == "tpu" or _interpret()
+    mode = os.environ.get("GLIGEN_TPU_FUSED_CONV", "0")
+    if mode not in ("1", "auto"):
+        return "0"
+    if jax.default_backend() == "tpu" or _interpret():
+        return mode
+    return "0"
 
 
 class _GNParams(nn.Module):
@@ -128,7 +142,10 @@ class ResBlock(nn.Module):
         # (sublane granularity).  512²/1024² latents qualify at every UNet
         # level, but e.g. 768² reaches W=12 at level 3 — those blocks fall
         # back to the XLA path (identical param tree, so mixing is safe).
-        if _fused_conv_enabled() and x.shape[2] % 8 == 0:
+        mode = _fused_conv_mode()
+        if (mode != "0" and x.shape[2] % 8 == 0
+                and (mode == "1"
+                     or (x.shape[1], self.out_channels) in _FUSED_CONV_WINS)):
             return self._fused(x, emb, in_ch)
         h = GroupNorm32(name="in_layers_0", act="silu")(x)
         h = _conv(self.out_channels, 3, "in_layers_2", dtype=self.dtype)(h)

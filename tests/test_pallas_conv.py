@@ -142,3 +142,48 @@ def test_resblock_unqualified_width_falls_back(monkeypatch):
     monkeypatch.setenv("GLIGEN_TPU_FLASH_INTERPRET", "1")
     got = block.apply({"params": params}, x, emb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_resblock_auto_mode_selects_measured_win_shapes(monkeypatch):
+    """GLIGEN_TPU_FUSED_CONV=auto routes ONLY the measured-win shapes
+    (_FUSED_CONV_WINS, keyed (H, out_channels) — today {(32, 640)}) through
+    the Pallas kernel; every other shape stays on the XLA conv emitter."""
+    import gligen_tpu.ops.pallas_conv as pc
+    from gligen_tpu.models.unet import ResBlock
+
+    calls = []
+    real = pc.gn_silu_conv3x3
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pc, "gn_silu_conv3x3", spy)
+    monkeypatch.setenv("GLIGEN_TPU_FUSED_CONV", "auto")
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_INTERPRET", "1")
+
+    rng = np.random.default_rng(7)
+    emb = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+
+    # a non-win shape takes the XLA path: zero kernel calls
+    x_small = jnp.asarray(rng.standard_normal((1, 16, 16, 64)), jnp.float32)
+    blk = ResBlock(out_channels=96)
+    params = blk.init(jax.random.PRNGKey(0), x_small, emb)["params"]
+    blk.apply({"params": params}, x_small, emb)
+    assert calls == []
+
+    # the win shape goes fused: two kernel calls (one per conv chain)
+    x_win = jnp.asarray(rng.standard_normal((1, 32, 32, 640)), jnp.float32)
+    blk = ResBlock(out_channels=640)
+    params = blk.init(jax.random.PRNGKey(1), x_win, emb)["params"]
+    want = blk.apply({"params": params}, x_win, emb)
+    n_before = len(calls)
+    assert n_before == 4  # init trace + first apply, 2 kernel calls each
+    got = blk.apply({"params": params}, x_win, emb)
+    assert len(calls) == n_before + 2
+
+    # and the auto-mode output still matches the plain XLA ResBlock
+    monkeypatch.setenv("GLIGEN_TPU_FUSED_CONV", "0")
+    plain = blk.apply({"params": params}, x_win, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(plain), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=0)
