@@ -186,32 +186,53 @@ class MicroBatcher:
                             it.error = e
                             it.event.set()
 
-    def _execute(self, batch, take, kwargs):
-        bucket = next((b for b in self.buckets if b >= take), None)
-        pad = (bucket - take) if bucket else 0
+    def image_cap(self, latent_size) -> int:
+        return _image_cap(self.pipe, latent_size)
 
+    def _execute(self, batch, take, kwargs):
         def fuse(field):
             arrs = [getattr(it, field) for it in batch]
             if arrs[0] is None:
                 return None
             if isinstance(arrs[0], dict):
-                return {
-                    k: _pad_rows0(np.concatenate([a[k] for a in arrs], 0), pad)
-                    for k in arrs[0]
-                }
-            return _pad_rows0(np.concatenate(arrs, 0), pad)
+                return {k: np.concatenate([a[k] for a in arrs], 0) for k in arrs[0]}
+            return np.concatenate(arrs, 0)
+
+        fused = {f: fuse(f) for f in ("ids", "uc_ids", "grounding",
+                                      "grounding_extra", "noise")}
+        # High resolutions cannot run the full fused batch in one call
+        # (1024² bucket 4 would OOM the chip); run row-chunks of <= cap
+        # sequentially and stitch the images back.  Buckets above the cap
+        # are never padded to, so the resolution's compiled-program set
+        # stays {buckets <= cap} — warmup through this same path warms
+        # exactly those.
+        cap = self.image_cap(kwargs.get("latent_size"))
 
         import jax
 
-        with self._lock:
-            images = self.pipe.generate(
-                fuse("ids"), fuse("uc_ids"), fuse("grounding"),
-                grounding_extra=fuse("grounding_extra"),
-                noise=fuse("noise"),
-                rng=jax.random.PRNGKey(0),
-                **kwargs,
-            )
-        images = np.asarray(images)
+        parts = []
+        for start in range(0, take, cap):
+            n = min(cap, take - start)
+            bucket = next((b for b in self.buckets if n <= b <= cap), None)
+            pad = (bucket - n) if bucket else 0
+
+            def cut(x, start=start, n=n, pad=pad):
+                if x is None:
+                    return None
+                if isinstance(x, dict):
+                    return {k: _pad_rows0(v[start:start + n], pad) for k, v in x.items()}
+                return _pad_rows0(x[start:start + n], pad)
+
+            with self._lock:
+                images = self.pipe.generate(
+                    cut(fused["ids"]), cut(fused["uc_ids"]), cut(fused["grounding"]),
+                    grounding_extra=cut(fused["grounding_extra"]),
+                    noise=cut(fused["noise"]),
+                    rng=jax.random.PRNGKey(0),
+                    **kwargs,
+                )
+            parts.append(np.asarray(images)[:n])
+        images = np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
         off = 0
         for it in batch:
             it.result = images[off:off + it.n]
@@ -223,6 +244,19 @@ def _mesh_size(pipeline) -> int:
     """Device count of the pipeline's data-parallel mesh (1 if unmeshed)."""
     mesh = getattr(pipeline, "mesh", None)
     return int(mesh.devices.size) if mesh is not None else 1
+
+
+def _image_cap(pipeline, latent_size) -> int:
+    """Largest per-pipeline-call image count that fits HBM at this
+    resolution, scaled by the data-parallel mesh size.  Anchor: B=8 at
+    latent 64 (512²) is the measured sweet spot and fits easily; at
+    latent 128 (1024²) B=4 (CFG batch 8) **OOMs** a v5e's 15.75 G HBM
+    while B=2 fits (measured 2026-08-19, docs/perf.md).  The denoise
+    activations scale ~latent², so cap = 8·(64/latent)² per chip,
+    floored at one image."""
+    latent = int(latent_size or 64)
+    per_chip = max(1, (8 * 64 * 64) // (latent * latent))
+    return per_chip * _mesh_size(pipeline)
 
 
 def _pad_rows0(a: np.ndarray, pad: int) -> np.ndarray:
@@ -285,7 +319,12 @@ class ServingSession:
         def run():
             try:
                 for res in resolutions:
-                    for b in shapes:
+                    # clamp to the resolution's HBM image cap: requests
+                    # above it run as cap-sized chunks, so the cap-sized
+                    # program is the one worth compiling (a 1024² bucket-8
+                    # warmup would otherwise run 4 redundant chunk calls)
+                    cap = _image_cap(self.pipe, int(res) // 8)
+                    for b in sorted({min(int(b), cap) for b in shapes}):
                         self.generate(self._warmup_request(int(b), int(res)))
                 self.ready = True
                 self.warmup_error = None
@@ -492,15 +531,31 @@ class ServingSession:
             sig = (self._modality(),)
             images = self.batcher.submit(sig, item, run_kwargs)
         else:
+            # Direct path (batching disabled, or inpainting): same HBM
+            # cap as the batcher — run row-chunks sequentially so an
+            # oversize high-res request can never OOM the chip.
+            cap = _image_cap(self.pipe, latent)
+
+            def _sl(x, sl):
+                if x is None:
+                    return None
+                if isinstance(x, dict):
+                    return {k: v[sl] for k, v in x.items()}
+                return x[sl]
+
+            parts = []
             with self._lock:
-                images = self.pipe.generate(
-                    ids, uc_ids, grounding,
-                    grounding_extra=grounding_extra,
-                    inpaint_image=inpaint_image,
-                    inpaint_mask=inpaint_mask,
-                    rng=jax.random.PRNGKey(int(inst.get("seed", 0))),
-                    **run_kwargs,
-                )
+                for ci, start in enumerate(range(0, batch, cap)):
+                    sl = slice(start, start + cap)
+                    parts.append(np.asarray(self.pipe.generate(
+                        _sl(ids, sl), _sl(uc_ids, sl), _sl(grounding, sl),
+                        grounding_extra=_sl(grounding_extra, sl),
+                        inpaint_image=_sl(inpaint_image, sl),
+                        inpaint_mask=_sl(inpaint_mask, sl),
+                        rng=jax.random.PRNGKey(int(inst.get("seed", 0)) + ci),
+                        **run_kwargs,
+                    )))
+            images = parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
         images = np.asarray(images)
         self._record(time.time() - t0, batch)
         return {
@@ -536,6 +591,9 @@ class ServingSession:
                 out["latency_p50_sec"] = round(pick(0.50), 3)
                 out["latency_p95_sec"] = round(pick(0.95), 3)
                 out["latency_max_sec"] = round(lats[-1], 3)
+            aot = getattr(self.pipe, "_aot", None)
+            if aot is not None:
+                out["aot_cache"] = dict(aot.stats)
             return out
 
 
@@ -634,6 +692,14 @@ def main(argv=None):
         "multiple internally)",
     )
     p.add_argument(
+        "--aot_dir", type=str, default=None,
+        help="serialized-executable cache directory: compiled serving "
+        "programs are stored as .aotx files and reloaded in ~2.5 s each "
+        "on later boots instead of recompiling (~minutes each on the "
+        "remote compiler); safe to share between servers on identical "
+        "code/backend — stale entries are detected and recompiled",
+    )
+    p.add_argument(
         "--split_programs", action="store_true",
         help="compile the gated head and fuser-free tail as separate XLA "
         "programs: one tail serves every grounding modality at a given "
@@ -644,6 +710,10 @@ def main(argv=None):
         import os
 
         os.environ["GLIGEN_TPU_SPLIT_PROGRAMS"] = "1"
+    if args.aot_dir:
+        import os
+
+        os.environ["GLIGEN_TPU_AOT_DIR"] = args.aot_dir
 
     from gligen_tpu.data.tokenizer import load_tokenizer
     from gligen_tpu.inference.cli import FeatureExtractor, build_pipeline

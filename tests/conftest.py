@@ -58,6 +58,7 @@ HEAVY = {
     ("test_real_checkpoint", "test_build_pipeline_and_generate_from_torch_file"),
     ("test_real_checkpoint", "test_official_sd_checkpoint_file_roundtrip"),
     ("test_pipeline_spatial", "test_spatial_pipeline_generates"),       # 226 s
+    ("test_aot", "test_pipeline_aot_boot_matches_plain"),               # 100 s
     ("test_trainer", "test_trainer_spatial_modality_with_preview"),     # 134 s
     ("test_trainer", "test_ema_save_load_generate"),                    # 56 s
     ("test_trainer", "test_trainer_runs_and_resumes"),                  # 44 s

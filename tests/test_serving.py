@@ -329,6 +329,66 @@ def test_microbatcher_pads_to_bucket():
     assert len(out["images"]) == 3
 
 
+def test_microbatcher_chunks_high_res_batches():
+    """At 1024² (latent 128) the HBM image cap is 2 per chip (B=4 CFG
+    OOMs a v5e — docs/perf.md); a fused batch of 3 must run as capped
+    chunks [2, 1], never pad up to the 4-bucket."""
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=400)
+    results = {}
+
+    def worker(name, n, seed):
+        results[name] = session.generate(
+            {"prompt": name, "phrases": ["a cat"],
+             "locations": [[0.1, 0.1, 0.5, 0.5]], "batch_size": n,
+             "seed": seed, "resolution": 1024}
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=("a", 2, 1)),
+        threading.Thread(target=worker, args=("b", 1, 2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert pipe.calls == [2, 1], pipe.calls
+    assert len(results["a"]["images"]) == 2
+    assert len(results["b"]["images"]) == 1
+    # routing: request b's single image is the first row of chunk 2
+    assert session.batcher.image_cap(128) == 2
+    assert session.batcher.image_cap(64) == 8
+
+
+def test_direct_path_chunks_high_res():
+    """With batching disabled the same cap applies: a 5-image 1024²
+    request runs as [2, 2, 1] sequential pipeline calls."""
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=0)
+    out = session.generate(
+        {"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+         "batch_size": 5, "resolution": 1024}
+    )
+    assert pipe.calls == [2, 2, 1]
+    assert len(out["images"]) == 5
+
+
+def test_image_cap_scales_with_mesh():
+    from gligen_tpu.serving.server import _image_cap
+
+    pipe = _StubPipeline()
+    assert _image_cap(pipe, 64) == 8
+    assert _image_cap(pipe, 128) == 2
+    assert _image_cap(pipe, None) == 8
+
+    class _M:
+        class devices:
+            size = 8
+    pipe.mesh = _M()
+    assert _image_cap(pipe, 64) == 64
+    assert _image_cap(pipe, 128) == 16
+
+
 def test_resolution_field_sets_latent_size():
     pipe = _StubPipeline()
     session = ServingSession(pipe, HashTokenizer())
