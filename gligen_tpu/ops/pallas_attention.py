@@ -54,6 +54,14 @@ LOG2E = 1.4426950408889634
 # and input-dtype matmuls were both measured SLOWER end to end).
 _DEFAULT_BLOCK_Q = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_Q", 512))
 _DEFAULT_BLOCK_KV = int(os.environ.get("GLIGEN_TPU_FLASH_BLOCK_KV", 1024))
+# Streamed-KV long sequences run fastest with a DEEPER q block: the v5e-1
+# sweep at n=m=16384 (1024^2 ds1, tools/bench_sweep_attn.py 2026-08-19)
+# measured bq=2048/bkv=1024 at 15.80 ms (71% padded MXU) vs 17.34 ms for
+# the 512/1024 short-sequence default (-9%) — more KV reuse per pass
+# amortizes the online-softmax state updates.  Applied only when the KV
+# actually streams (the single-KV fast path is untouched).
+_LONG_BLOCK_Q = int(os.environ.get("GLIGEN_TPU_FLASH_LONG_BLOCK_Q", 2048))
+_LONG_SEQ_N = 8192
 _SINGLE_KV_BYTES = int(os.environ.get("GLIGEN_TPU_FLASH_SINGLE_KV_BYTES", 6 * 1024 * 1024))
 # Kernel matmul dtype experiments (forward only; softmax stats stay fp32):
 #   BF16_P: cast probabilities to bf16 for the PV dot.
@@ -506,7 +514,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
-    block_q: int = _DEFAULT_BLOCK_Q,
+    block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -519,7 +527,6 @@ def flash_attention(
     scale = d**-0.5
 
     d_pad = max(128, ((d + 127) // 128) * 128)
-    block_q = min(block_q, max(8, n))
     # Single-KV-step fast path: when the whole (padded) KV fits the VMEM
     # budget, make it one block — no streaming overhead (measured ~4% end
     # to end at 512^2).  Longer sequences stream block_kv at a time.
@@ -531,6 +538,9 @@ def flash_attention(
         if 2 * m_whole * d_pad * 2 <= _SINGLE_KV_BYTES:  # k+v, bf16 bytes
             block_kv = m_whole
     block_kv = min(block_kv, m)
+    if block_q is None:
+        block_q = _LONG_BLOCK_Q if (block_kv < m_whole and n >= _LONG_SEQ_N) else _DEFAULT_BLOCK_Q
+    block_q = min(block_q, max(8, n))
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv
 
@@ -836,7 +846,7 @@ def flash_attention_packed(
     v: jax.Array,
     heads: int,
     key_mask: Optional[jax.Array] = None,
-    block_q: int = _DEFAULT_BLOCK_Q,
+    block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: bool = False,
     true_dim: Optional[int] = None,
@@ -865,13 +875,15 @@ def flash_attention_packed(
     scale = (true_dim if true_dim is not None else c) ** -0.5
     cpad = max(128, ((c + 127) // 128) * 128)
 
-    block_q = min(block_q, max(8, n))
     m_whole = ((m + 127) // 128) * 128
     if block_kv is None:
         block_kv = _DEFAULT_BLOCK_KV
         if 2 * m_whole * cpad * 2 <= _SINGLE_KV_BYTES:
             block_kv = m_whole
     block_kv = min(block_kv, m)
+    if block_q is None:
+        block_q = _LONG_BLOCK_Q if (block_kv < m_whole and n >= _LONG_SEQ_N) else _DEFAULT_BLOCK_Q
+    block_q = min(block_q, max(8, n))
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv
 

@@ -297,3 +297,44 @@ def test_all_masked_rows_saturate_not_nan():
     # unmasked batch row unaffected
     ref = np.asarray(mha_flash(q[1:], k[1:], v[1:], h, interpret=True))
     np.testing.assert_allclose(out[1], ref[0], atol=2e-5, rtol=2e-5)
+
+
+def test_long_sequence_block_q_default(monkeypatch):
+    """Streamed-KV long sequences (n >= 8192) default to the deeper
+    2048-row q block measured fastest in the on-chip 16k sweep
+    (docs/perf.md "16k-token flash block-size sweep"); short sequences
+    keep the 512/single-KV defaults."""
+    import gligen_tpu.ops.pallas_attention as pa
+
+    seen = {}
+
+    def fake_flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+        seen["bq"], seen["bkv"] = block_q, block_kv
+        return jnp.zeros_like(qp)
+
+    def fake_flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+        seen["bq"], seen["bkv"] = block_q, block_kv
+        return jnp.zeros_like(qe)
+
+    monkeypatch.setattr(pa, "_flash", fake_flash)
+    monkeypatch.setattr(pa, "_flash_packed", fake_flash_packed)
+
+    # 1024^2 ds1 shape: 16384 tokens stream -> deep q block.
+    q = jnp.zeros((1, 16384, 40))
+    pa.flash_attention(q, q, q)
+    assert (seen["bq"], seen["bkv"]) == (2048, 1024)
+
+    # 512^2 ds1 shape: whole KV fits VMEM -> single-KV fast path, bq=512.
+    q = jnp.zeros((1, 4096, 40))
+    pa.flash_attention(q, q, q)
+    assert seen["bq"] == 512 and seen["bkv"] == 4096
+
+    # Packed entry point, long cross-length: n long, kv streams.
+    q = jnp.zeros((1, 16384, 8 * 128))
+    k = jnp.zeros((1, 16384, 8 * 128))
+    pa.flash_attention_packed(q, k, k, heads=8, true_dim=40)
+    assert (seen["bq"], seen["bkv"]) == (2048, 1024)
+
+    # Explicit block_q still wins over the heuristic.
+    pa.flash_attention_packed(q, k, k, heads=8, true_dim=40, block_q=1024)
+    assert seen["bq"] == 1024
