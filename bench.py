@@ -49,7 +49,16 @@ def main():
         help="cast matrix/conv params to bf16 (halves weight HBM traffic; "
         "norm scales/biases stay fp32)",
     )
+    ap.add_argument(
+        "--aot_dir", type=str,
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aot_cache"),
+        help="serialized-executable cache (utils/aot.py): a warm dir boots "
+        "the benchmark pipeline in seconds instead of a cold XLA compile; "
+        "'' disables",
+    )
     args = ap.parse_args()
+    if args.aot_dir:
+        os.environ.setdefault("GLIGEN_TPU_AOT_DIR", args.aot_dir)
     if args.smoke:
         args.batch, args.steps, args.repeats = 1, 2, 1
 
@@ -131,6 +140,9 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    aot = getattr(pipe, "_aot", None)
+    if aot is not None:
+        meta["aot_cache"] = dict(aot.stats)
     print(json.dumps(meta), file=sys.stderr)
     print(json.dumps(result))
 

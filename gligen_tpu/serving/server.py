@@ -201,19 +201,23 @@ class MicroBatcher:
         fused = {f: fuse(f) for f in ("ids", "uc_ids", "grounding",
                                       "grounding_extra", "noise")}
         # High resolutions cannot run the full fused batch in one call
-        # (1024² bucket 4 would OOM the chip); run row-chunks of <= cap
-        # sequentially and stitch the images back.  Buckets above the cap
-        # are never padded to, so the resolution's compiled-program set
-        # stays {buckets <= cap} — warmup through this same path warms
-        # exactly those.
+        # (1024² bucket 4 would OOM the chip); run row-chunks sequentially
+        # and stitch the images back.  Chunk by the largest BUCKET <= cap,
+        # not the cap itself (ADVICE r4): a non-bucket cap (e.g. 3 at 768²)
+        # would produce cap-sized chunks matching no bucket — an unpadded
+        # ad-hoc program warmup never compiled.  With bucket-sized chunks
+        # every executed shape is a bucket <= chunk, so the resolution's
+        # compiled-program set is exactly {buckets <= chunk} and warmup
+        # (clamped the same way, see ServingSession.warmup) covers it.
         cap = self.image_cap(kwargs.get("latent_size"))
+        chunk = max((b for b in self.buckets if b <= cap), default=cap)
 
         import jax
 
         parts = []
-        for start in range(0, take, cap):
-            n = min(cap, take - start)
-            bucket = next((b for b in self.buckets if n <= b <= cap), None)
+        for start in range(0, take, chunk):
+            n = min(chunk, take - start)
+            bucket = next((b for b in self.buckets if n <= b <= chunk), None)
             pad = (bucket - n) if bucket else 0
 
             def cut(x, start=start, n=n, pad=pad):
@@ -322,8 +326,15 @@ class ServingSession:
                     # clamp to the resolution's HBM image cap: requests
                     # above it run as cap-sized chunks, so the cap-sized
                     # program is the one worth compiling (a 1024² bucket-8
-                    # warmup would otherwise run 4 redundant chunk calls)
+                    # warmup would otherwise run 4 redundant chunk calls).
+                    # With micro-batching the runtime chunk size is the
+                    # largest BATCHER bucket <= cap (MicroBatcher._execute)
+                    # — clamp to that so warmup compiles the exact shapes
+                    # live traffic runs.
                     cap = _image_cap(self.pipe, int(res) // 8)
+                    if self.batcher is not None:
+                        cap = max((b for b in self.batcher.buckets if b <= cap),
+                                  default=cap)
                     for b in sorted({min(int(b), cap) for b in shapes}):
                         self.generate(self._warmup_request(int(b), int(res)))
                 self.ready = True
@@ -552,7 +563,11 @@ class ServingSession:
                         grounding_extra=_sl(grounding_extra, sl),
                         inpaint_image=_sl(inpaint_image, sl),
                         inpaint_mask=_sl(inpaint_mask, sl),
-                        rng=jax.random.PRNGKey(int(inst.get("seed", 0)) + ci),
+                        # fold_in, not PRNGKey(seed+ci): additive keys would
+                        # make chunk 1 of seed s collide with chunk 0 of
+                        # seed s+1 — duplicate images across chunk borders
+                        rng=jax.random.fold_in(
+                            jax.random.PRNGKey(int(inst.get("seed", 0))), ci),
                         **run_kwargs,
                     )))
             images = parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
@@ -696,8 +711,11 @@ def main(argv=None):
         help="serialized-executable cache directory: compiled serving "
         "programs are stored as .aotx files and reloaded in ~2.5 s each "
         "on later boots instead of recompiling (~minutes each on the "
-        "remote compiler); safe to share between servers on identical "
-        "code/backend — stale entries are detected and recompiled",
+        "remote compiler); stale entries are detected and recompiled, and "
+        "the directory is LRU-bounded (GLIGEN_TPU_AOT_MAX_GB, default 24). "
+        "SECURITY: entries are pickles — loading one executes code from "
+        "the file, so the directory must be writable only by trusted "
+        "operators; share it only between servers in one trust domain",
     )
     p.add_argument(
         "--split_programs", action="store_true",

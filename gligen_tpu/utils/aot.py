@@ -24,6 +24,20 @@ that can change the compiled program:
 
 Any failure on the load or save path degrades to plain jit-compile —
 the cache is an optimization, never a correctness dependency.
+
+The directory is bounded: payloads are large (one full 512² pipeline
+executable is ~737 MB) and the warmup matrix (buckets × resolutions ×
+modalities × head/tail programs) multiplies them, so the cache evicts
+least-recently-used entries past ``GLIGEN_TPU_AOT_MAX_GB`` (default 24)
+after every save.  Recency = file mtime, refreshed on every load hit, so
+the working set of a long-lived server survives eviction pressure.
+
+Trust boundary: entries are Python pickles (the payload wraps XLA's
+serialized executable plus jax pytree defs — there is no pickle-free
+wire format for these), so LOADING AN ENTRY EXECUTES CODE FROM THE
+FILE.  The cache directory must be writable only by operators trusted
+to run code in the serving process; it is created ``0o700`` and should
+only be shared between servers inside one trust domain.
 """
 
 from __future__ import annotations
@@ -48,18 +62,33 @@ def _package_hash() -> str:
             for f in sorted(files):
                 if f.endswith(".py"):
                     p = os.path.join(root, f)
-                    h.update(p.encode())
+                    # package-relative path: two installs of identical code
+                    # at different prefixes (venvs, containers) must share
+                    # digests or a shared --aot_dir silently never hits
+                    h.update(os.path.relpath(p, pkg).encode())
                     with open(p, "rb") as fh:
                         h.update(fh.read())
         _pkg_hash_cache = h.hexdigest()[:16]
     return _pkg_hash_cache
 
 
+# env vars that change what XLA compiles without touching jax.config;
+# an executable cached under one flag set must not load under another
+_XLA_ENV_KEYS = (
+    "XLA_FLAGS", "LIBTPU_INIT_ARGS", "TPU_LIBRARY_PATH",
+    "JAX_ENABLE_X64", "JAX_DEFAULT_MATMUL_PRECISION", "JAX_PLATFORMS",
+)
+# cache-policy knobs that do NOT affect compiled code
+_NON_PROGRAM_KEYS = ("GLIGEN_TPU_AOT_DIR", "GLIGEN_TPU_AOT_MAX_GB")
+
+
 def _env_signature() -> str:
-    return repr(sorted(
+    knobs = sorted(
         (k, v) for k, v in os.environ.items()
-        if k.startswith("GLIGEN_TPU_") and k != "GLIGEN_TPU_AOT_DIR"
-    ))
+        if k.startswith("GLIGEN_TPU_") and k not in _NON_PROGRAM_KEYS
+    )
+    xla = [(k, os.environ.get(k, "")) for k in _XLA_ENV_KEYS]
+    return repr(knobs + xla)
 
 
 def _backend_signature() -> str:
@@ -89,19 +118,69 @@ def _args_signature(args: tuple) -> str:
     return "|".join(parts)
 
 
-class AotCache:
-    """Directory of serialized serving executables (``*.aotx`` files)."""
+_DEFAULT_MAX_GB = 24.0
 
-    def __init__(self, directory: str):
+
+class AotCache:
+    """Directory of serialized serving executables (``*.aotx`` files),
+    LRU-bounded to ``max_bytes`` (see module docstring)."""
+
+    def __init__(self, directory: str, max_bytes: Optional[int] = None):
         self.dir = directory
-        os.makedirs(directory, exist_ok=True)
-        # (hits, misses, load_errors) — surfaced in serving /metrics
-        self.stats = {"hits": 0, "misses": 0, "errors": 0}
+        os.makedirs(directory, mode=0o700, exist_ok=True)
+        if max_bytes is None:
+            gb = float(os.environ.get("GLIGEN_TPU_AOT_MAX_GB", _DEFAULT_MAX_GB))
+            max_bytes = int(gb * 1e9)
+        self.max_bytes = max_bytes
+        # surfaced in serving /metrics as "aot_cache"
+        self.stats = {"hits": 0, "misses": 0, "errors": 0,
+                      "evictions": 0, "size_bytes": self._size_bytes()}
 
     @staticmethod
     def from_env() -> Optional["AotCache"]:
         path = os.environ.get("GLIGEN_TPU_AOT_DIR")
         return AotCache(path) if path else None
+
+    # ---- size bound ----
+    def _entries(self):
+        """[(path, size, mtime)] of every .aotx currently on disk."""
+        out = []
+        try:
+            names = os.listdir(self.dir)
+        except OSError:
+            return out
+        for f in names:
+            if f.endswith(".aotx"):
+                p = os.path.join(self.dir, f)
+                try:
+                    st = os.stat(p)
+                except OSError:  # concurrent eviction by another server
+                    continue
+                out.append((p, st.st_size, st.st_mtime))
+        return out
+
+    def _size_bytes(self) -> int:
+        return sum(size for _, size, _ in self._entries())
+
+    def _evict(self):
+        """Drop least-recently-used entries until under max_bytes.
+
+        mtime is the recency clock: ``load`` touches entries on hit, so a
+        long-lived server's working set stays newest.  Eviction errors are
+        ignored (another process may have removed the file first)."""
+        entries = self._entries()
+        total = sum(size for _, size, _ in entries)
+        if total > self.max_bytes:
+            for p, size, _ in sorted(entries, key=lambda e: e[2]):
+                if total <= self.max_bytes:
+                    break
+                try:
+                    os.remove(p)
+                    total -= size
+                    self.stats["evictions"] += 1
+                except OSError:
+                    pass
+        self.stats["size_bytes"] = total
 
     def wrap(self, fn, name: str) -> "_AotJit":
         return _AotJit(fn, name, self)
@@ -134,6 +213,7 @@ class AotCache:
                 execution_devices=devices,
             )
             self.stats["hits"] += 1
+            os.utime(path)  # refresh LRU recency on hit
             return exe
         except Exception as e:  # stale/corrupt/unsupported: recompile
             self.stats["errors"] += 1
@@ -158,6 +238,7 @@ class AotCache:
             with open(tmp, "wb") as f:
                 pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
             os.replace(tmp, self._path(digest))  # atomic: concurrent boots race safely
+            self._evict()
             return True
         except Exception as e:  # backend without serialization, full disk, ...
             self.stats["errors"] += 1

@@ -360,6 +360,46 @@ def test_microbatcher_chunks_high_res_batches():
     assert session.batcher.image_cap(64) == 8
 
 
+def test_microbatcher_chunks_align_to_buckets():
+    """When the HBM cap is not itself a bucket (768² -> latent 96 -> cap 3
+    with buckets 1,2,4,8) chunking must use the largest bucket <= cap (2),
+    never the raw cap: a cap-sized chunk matches no bucket and would run
+    an unpadded ad-hoc program warmup never compiled (ADVICE r4)."""
+    from gligen_tpu.serving.server import _image_cap
+
+    pipe = _CountingPipeline()
+    assert _image_cap(pipe, 96) == 3  # the non-bucket cap this test pins
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=60)
+    out = session.generate(
+        {"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+         "batch_size": 5, "resolution": 768}
+    )
+    assert len(out["images"]) == 5
+    # chunks [2, 2, 1] — every executed shape is a bucket value <= 2
+    assert pipe.calls == [2, 2, 1], pipe.calls
+    assert set(pipe.calls) <= set(session.batcher.buckets)
+
+
+def test_warmup_compiles_exact_runtime_chunk_shapes():
+    """Warmup must pre-run the very shapes live traffic produces: at a
+    non-bucket cap (768² -> 3) both warmup and runtime clamp to the
+    largest bucket <= cap, so the live request below hits only shapes
+    warmup already executed (ADVICE r4)."""
+    pipe = _CountingPipeline()
+    session = ServingSession(pipe, HashTokenizer(), batch_window_ms=60)
+    session.warmup(buckets=(1, 8), resolutions=(768,))
+    assert session.ready and session.warmup_error is None
+    warmed = set(pipe.calls)
+    assert warmed == {1, 2}, pipe.calls
+
+    pipe.calls.clear()
+    session.generate(
+        {"prompt": "p", "phrases": ["x"], "locations": [[0, 0, 1, 1]],
+         "batch_size": 7, "resolution": 768}
+    )
+    assert set(pipe.calls) <= warmed, (pipe.calls, warmed)
+
+
 def test_direct_path_chunks_high_res():
     """With batching disabled the same cap applies: a 5-image 1024²
     request runs as [2, 2, 1] sequential pipeline calls."""

@@ -68,7 +68,7 @@ SCENARIOS = [
 
 def run_arm(name: str, env_extra: dict, dtype: str, out_dir: str,
             steps: int, batch: int, seed: int,
-            scenarios: str | None = None) -> None:
+            scenarios: str | None = None, ckpt: str = "random") -> None:
     # the CLI APPENDS into existing scenario folders (reference-style
     # numbering, cli.py save path start+i) — clean the target scenario
     # dirs first so a re-run can't leave stale images for the scorer
@@ -82,10 +82,12 @@ def run_arm(name: str, env_extra: dict, dtype: str, out_dir: str,
     env.update(env_extra)
     cmd = [
         sys.executable, "-m", "gligen_tpu.inference.cli",
-        "--ckpt", "random", "--dezero", "--dtype", dtype,
+        "--ckpt", ckpt, "--dtype", dtype,
         "--batch_size", str(batch), "--steps", str(steps),
         "--seed", str(seed), "--folder", out_dir,
     ]
+    if ckpt == "random":
+        cmd.insert(5, "--dezero")  # deterministic de-zeroed random params
     if scenarios:
         cmd += ["--scenarios", scenarios]
     print(f"[{name}] {' '.join(cmd)}", flush=True)
@@ -150,6 +152,10 @@ def main() -> None:
     ap.add_argument("--clip_vision_ckpt", default=None)
     ap.add_argument("--scenarios", default=None,
                     help="comma-separated scenario filter passed to the CLI")
+    ap.add_argument("--ckpt", default="random",
+                    help="checkpoint passed to the CLI: 'random' (default, "
+                    "de-zeroed weight-independent gate) or a real released "
+                    ".pth — the per-checkpoint runbook in docs/parity.md")
     args = ap.parse_args()
 
     out_root = args.report or args.out
@@ -157,10 +163,10 @@ def main() -> None:
         # ONE TPU process at a time (axon): arms run strictly serially
         if args.arm in ("fp32", "both"):
             run_arm("fp32", ARM_A_ENV, "float32", os.path.join(out_root, "fp32"),
-                    args.steps, args.batch, args.seed, args.scenarios)
+                    args.steps, args.batch, args.seed, args.scenarios, args.ckpt)
         if args.arm in ("bf16", "both"):
             run_arm("bf16", ARM_B_ENV, "bfloat16", os.path.join(out_root, "bf16"),
-                    args.steps, args.batch, args.seed, args.scenarios)
+                    args.steps, args.batch, args.seed, args.scenarios, args.ckpt)
 
     # scoring is pure host work; never let it claim (or hang on) the TPU —
     # must happen AFTER the arms (their env copies need the real platform)
@@ -176,17 +182,18 @@ def main() -> None:
     # --scenarios run can never overwrite the full measurement
     scored = [s for s in SCENARIOS
               if "lpips" in results.get(s, {})]
-    if len(scored) == len(SCENARIOS):
+    if len(scored) == len(SCENARIOS) and args.ckpt == "random":
         with open(os.path.join(REPO, "FIDELITY.json"), "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {os.path.join(REPO, 'FIDELITY.json')}")
 
-    print("\n| Scenario | LPIPS (bf16 vs fp32) | PSNR | max |Δpixel| |")
+    label = "LPIPS" if results["_meta"]["lpips_backbone"] == "clip" else "proxy-LPIPS"
+    print(f"\n| Scenario | PSNR (dB) | {label} (bf16 vs fp32) | max |Δpixel| |")
     print("|---|---|---|---|")
     for sc in SCENARIOS:
         r = results.get(sc, {})
         if "lpips" in r:
-            print(f"| {sc} | {r['lpips']} | {r['psnr']} | {r['max_abs_pixel_delta']} |")
+            print(f"| {sc} | {r['psnr']} | {r['lpips']} | {r['max_abs_pixel_delta']} |")
 
 
 if __name__ == "__main__":
