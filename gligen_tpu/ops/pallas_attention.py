@@ -80,6 +80,17 @@ _BF16_QK = os.environ.get("GLIGEN_TPU_FLASH_BF16_QK", "0") == "1"
 #   broadcast-subtract over every (BQ, M) score tile).  Set
 #   GLIGEN_TPU_FLASH_NOMAX=0 for the textbook running-max form.
 _NOMAX = os.environ.get("GLIGEN_TPU_FLASH_NOMAX", "1") == "1"
+#   MXU_LSUM: move the softmax row-sum from the VPU to the MXU by planting
+#   a 1.0 in the first zero-padded lane of V — the PV dot then emits the
+#   denominator in that output lane using MXU cycles ALREADY SPENT on the
+#   padding zeros (head dim 40 pads to 128 lanes), deleting the
+#   sum-over-keys VPU reduce (~N*M elements/call, the largest remaining
+#   VPU pass after NOMAX).  Exact for gradients (l = sum_j p_ij either
+#   way; the backward reconstructs p from the stored lse); the planted
+#   output lane holds l/l == 1 after normalization and every consumer
+#   multiplies it by a zero-padded weight row or slices it off.  Only
+#   engages when the head dim actually has padding.
+_MXU_LSUM = os.environ.get("GLIGEN_TPU_FLASH_MXU_LSUM", "0") == "1"
 
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
@@ -89,7 +100,7 @@ _SEMANTICS = pltpu.CompilerParams(
 # ------------------------------------------------------------ forward
 
 def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
-                       t_out=False):
+                       t_out=False, lsum_lane=None):
     """Specialized single-KV-block forward: when the whole (padded) KV fits
     one block there is no online-softmax state to carry — no scratch
     init/update passes over the (BQ, M) tile, just softmax + two matmuls.
@@ -122,29 +133,42 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
     else:
         m = jnp.max(s, axis=1)
         p = jnp.exp2(s - m[:, None])
-    l = jnp.sum(p, axis=1)
-    # Degenerate rows (all keys masked, or every log2-domain logit
-    # underflows fp32 exp2 under NOMAX) have l == 0: saturate the
-    # normalizer so the output is 0 rather than 0/0 = NaN.
-    l = jnp.maximum(l, jnp.float32(1e-37))
     if _BF16_P:
         p = p.astype(jnp.bfloat16)
         v = v_ref[0]
+    if lsum_lane is not None:
+        # MXU row-sum: lane ``lsum_lane`` of the zero padding carries 1.0,
+        # so the PV dot below emits l = sum_j p_ij in that output lane.
+        lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(lanes == lsum_lane, jnp.ones_like(v), v)
+    else:
+        l = jnp.sum(p, axis=1)
     if t_out:
         o = jax.lax.dot_general(  # (D, BQ): contract v dim0 x p dim1
             v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if lsum_lane is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+            l = jnp.sum(jnp.where(rows == lsum_lane, o, 0.0), axis=0)
+        # Degenerate rows (all keys masked, or every log2-domain logit
+        # underflows fp32 exp2 under NOMAX) have l == 0: saturate the
+        # normalizer so the output is 0 rather than 0/0 = NaN.
+        l = jnp.maximum(l, jnp.float32(1e-37))
         o_ref[0] = (o / l[None, :]).astype(o_ref.dtype)
     else:
         o = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if lsum_lane is not None:
+            lanes_o = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+            l = jnp.sum(jnp.where(lanes_o == lsum_lane, o, 0.0), axis=1)
+        l = jnp.maximum(l, jnp.float32(1e-37))
         o_ref[0] = (o / l[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0, :] = m + jnp.log2(l)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale, seq_axis=2):
+                *, scale, seq_axis=2, lsum_lane=None):
     """One (bh, q_block, kv_block) step; scratch carries the online
     softmax state across the (sequential, innermost) KV axis.
     ``seq_axis``: which grid axis is the sequential KV sweep (2 for the
@@ -162,6 +186,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
     q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # (BQ, D)
     k = k_ref[0].astype(jnp.float32)                    # (BKV, D)
     v = v_ref[0].astype(jnp.float32)
+    if lsum_lane is not None:
+        # MXU row-sum (see _MXU_LSUM): the accumulator's ``lsum_lane``
+        # column carries the running sum of p — the l/alpha recurrences
+        # below apply to it identically, so l_ref stays untouched.
+        lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(lanes == lsum_lane, jnp.ones_like(v), v)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -176,7 +206,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
         # of overflowing.  Sum over 16k fully-clamped keys stays ~2e28,
         # far inside fp32 range.
         p = jnp.exp2(jnp.minimum(s, 80.0))
-        l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1)
+        if lsum_lane is None:
+            l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -185,7 +216,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
         p = jnp.exp2(s - m_new[:, None])
         alpha = jnp.exp2(m_prev - m_new)
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        if lsum_lane is None:
+            l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -195,12 +227,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
     def _():
         # saturate degenerate (all-masked / fully-underflowed) rows to 0
         # output instead of 0/0 = NaN
-        l_final = jnp.maximum(l_ref[:, 0], jnp.float32(1e-37))
+        if lsum_lane is None:
+            l_acc = l_ref[:, 0]
+        else:
+            acc_lanes = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
+            l_acc = jnp.sum(jnp.where(acc_lanes == lsum_lane, acc_ref[:], 0.0), axis=1)
+        l_final = jnp.maximum(l_acc, jnp.float32(1e-37))
         o_ref[0] = (acc_ref[:] / l_final[:, None]).astype(o_ref.dtype)
         lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log2(l_final)
 
 
-def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
+              lsum_lane=None):
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
     if m_pad == block_kv:
@@ -216,13 +254,15 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
                 pl.BlockSpec((1, 1, block_kv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
             )
             args.append(bias)
-            kernel = functools.partial(_fwd_kernel_single, scale=scale)
+            kernel = functools.partial(_fwd_kernel_single, scale=scale,
+                                       lsum_lane=lsum_lane)
         else:
             kernel = functools.partial(
                 lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
                     qr, kr, vr, None, o, lse, **kw
                 ),
                 scale=scale,
+                lsum_lane=lsum_lane,
             )
         return pl.pallas_call(
             kernel,
@@ -252,13 +292,15 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
             pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = functools.partial(_fwd_kernel, scale=scale)
+        kernel = functools.partial(_fwd_kernel, scale=scale,
+                                   lsum_lane=lsum_lane)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, lse, mm, ll, aa, **kw: _fwd_kernel(
                 qr, kr, vr, None, o, lse, mm, ll, aa, **kw
             ),
             scale=scale,
+            lsum_lane=lsum_lane,
         )
     out, lse = pl.pallas_call(
         kernel,
@@ -362,18 +404,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 # ------------------------------------------------------- custom-vjp core
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
-    out, _ = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None):
+    out, _ = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
+                       lsum_lane)
     return out
 
 
-def _flash_fwd(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
-    out, lse = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
+def _flash_fwd(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None):
+    out, lse = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
+                         lsum_lane)
     return out, (qp, kp, vp, bias, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_kv, interpret, res, do):
+def _flash_bwd(scale, block_q, block_kv, interpret, lsum_lane, res, do):
     qp, kp, vp, bias, out, lse = res
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
@@ -553,7 +597,9 @@ def flash_attention(
     if bias is not None:
         bias = jnp.broadcast_to(bias.astype(jnp.float32), (bh, 1, m_pad))
 
-    out = _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret)
+    # MXU row-sum lane: the first zero-padded head lane (sliced off below)
+    lsum = d if (_MXU_LSUM and d < d_pad) else None
+    out = _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum)
     return out[:, :n, :d]
 
 
@@ -576,6 +622,7 @@ def _pack_matrix(heads: int, c: int, cpad: int, dtype) -> jax.Array:
 
 
 def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                     lsum_lane=None,
                      t_out=False):
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
@@ -593,7 +640,8 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
                 pl.BlockSpec((1, 1, block_kv), lambda b_, h, i: (b_, 0, 0), memory_space=pltpu.VMEM)
             )
             args.append(bias)
-            kernel = functools.partial(_fwd_kernel_single, scale=scale, t_out=t_out)
+            kernel = functools.partial(_fwd_kernel_single, scale=scale, t_out=t_out,
+                                       lsum_lane=lsum_lane)
         else:
             kernel = functools.partial(
                 lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
@@ -601,6 +649,7 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
                 ),
                 scale=scale,
                 t_out=t_out,
+                lsum_lane=lsum_lane,
             )
         if t_out:
             # output stored (B, E, N): sublane-contraction operand layout
@@ -639,7 +688,8 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
             pl.BlockSpec((1, 1, block_kv), lambda b_, h, i, j: (b_, 0, j), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = functools.partial(_fwd_kernel, scale=scale, seq_axis=3)
+        kernel = functools.partial(_fwd_kernel, scale=scale, seq_axis=3,
+                                   lsum_lane=lsum_lane)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, lse, mm, ll, aa, **kw: _fwd_kernel(
@@ -647,6 +697,7 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
             ),
             scale=scale,
             seq_axis=3,
+            lsum_lane=lsum_lane,
         )
     out, lse = pl.pallas_call(
         kernel,
@@ -675,43 +726,51 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
-    out, _ = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                  lsum_lane=None):
+    out, _ = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv,
+                              interpret, lsum_lane)
     return out
 
 
-def _flash_packed_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
-    out, lse = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+def _flash_packed_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                      lsum_lane=None):
+    out, lse = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv,
+                                interpret, lsum_lane)
     return out, (qe, ke, ve, bias, out, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                    lsum_lane=None):
     out, _ = _packed_fwd_impl(
-        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, t_out=True
+        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, lsum_lane,
+        t_out=True
     )
     return out
 
 
-def _flash_packed_t_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+def _flash_packed_t_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
+                        lsum_lane=None):
     out, lse = _packed_fwd_impl(
-        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, t_out=True
+        qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, lsum_lane,
+        t_out=True
     )
     return out, (qe, ke, ve, bias, out, lse)
 
 
-def _flash_packed_t_bwd(heads, scale, block_q, block_kv, interpret, res, do):
+def _flash_packed_t_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane, res, do):
     # Reuse the (B, N, E)-layout backward kernels: transpose the stored
     # output and cotangent once (training-only cost; serving never
     # differentiates through this path).
     qe, ke, ve, bias, out_t, lse = res
     res2 = (qe, ke, ve, bias, out_t.transpose(0, 2, 1), lse)
-    return _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res2,
-                             do.transpose(0, 2, 1))
+    return _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane,
+                             res2, do.transpose(0, 2, 1))
 
 
-def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, res, do):
+def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane, res, do):
     qe, ke, ve, bias, out, lse = res
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
@@ -908,16 +967,24 @@ def flash_attention_packed(
     if bias is not None:
         bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, m_pad))
 
+    # MXU row-sum lane: the first per-head lane that is zero by
+    # construction — true_dim under weight-level padding, c under the
+    # expansion-matmul path; None when the head dim fills cpad exactly.
+    true_c = true_dim if true_dim is not None else c
+    lsum = true_c if (_MXU_LSUM and true_c < cpad) else None
+
     single_kv = m_pad == block_kv
     if transposed_out and single_kv:
-        out = _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+        out = _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv,
+                              interpret, lsum)
         out = out[:, :, :n]  # (B, E, N)
         if expand is not None:
             # expand is (F, E) with orthonormal 0/1 rows; contracting its E
             # axis against the (B, E, N) output un-pads the head dim exactly.
             out = jnp.einsum("fe,ben->bfn", expand, out)
         return out
-    out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret)
+    out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv,
+                        interpret, lsum)
     out = out[:, :n, :]
     if expand is not None:
         out = out @ expand.T  # exact inverse: E rows are orthonormal 0/1

@@ -131,23 +131,18 @@ def create_train_state(
 
 # ---------------------------------------------------------------- step
 
-def make_train_step(
+def make_loss_fn(
     unet,
     vae,
     text_encoder,
     schedule: DiffusionSchedule,
-    tx: optax.GradientTransformation,
     *,
     grounding_drop_prob: float = 0.1,
-    ema_rate: float = 0.9999,
     l_simple_weight: float = 1.0,
 ) -> Callable:
-    """Build the jittable train step.
-
-    batch: {"image": (B,H,W,3) in [-1,1], "input_ids": (B,77) int32,
-            "grounding": {...}, optional "grounding_extra" NHWC map,
-            optional "inpainting_mask" (B,h,w,1) latent keep-mask}.
-    """
+    """The per-batch eps-MSE loss (trainer.py:331-343), exposed separately
+    so the train-step budget benchmark (bench_train.py --breakdown) can
+    time forward-only and forward+backward against the full step."""
 
     def loss_fn(train_params, frozen, aux_params, batch, rng):
         params = merge(train_params, frozen)
@@ -192,6 +187,32 @@ def make_train_step(
         )
         loss = jnp.mean((eps - noise) ** 2) * l_simple_weight
         return loss
+
+    return loss_fn
+
+
+def make_train_step(
+    unet,
+    vae,
+    text_encoder,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    *,
+    grounding_drop_prob: float = 0.1,
+    ema_rate: float = 0.9999,
+    l_simple_weight: float = 1.0,
+) -> Callable:
+    """Build the jittable train step.
+
+    batch: {"image": (B,H,W,3) in [-1,1], "input_ids": (B,77) int32,
+            "grounding": {...}, optional "grounding_extra" NHWC map,
+            optional "inpainting_mask" (B,h,w,1) latent keep-mask}.
+    """
+    loss_fn = make_loss_fn(
+        unet, vae, text_encoder, schedule,
+        grounding_drop_prob=grounding_drop_prob,
+        l_simple_weight=l_simple_weight,
+    )
 
     def train_step(state: TrainState, frozen, aux_params, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -299,6 +299,78 @@ def test_all_masked_rows_saturate_not_nan():
     np.testing.assert_allclose(out[1], ref[0], atol=2e-5, rtol=2e-5)
 
 
+def test_mxu_lsum_matches_reference(monkeypatch):
+    """GLIGEN_TPU_FLASH_MXU_LSUM: the softmax denominator is read from a
+    planted 1.0 in the first zero-padded V lane (MXU cycles already spent
+    on padding) instead of a VPU row-sum.  Must be exact vs the einsum
+    path on every kernel variant that honors the flag.  Shapes here are
+    unique to this test so the jit cache can't serve a trace captured
+    with the flag off."""
+    import gligen_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_MXU_LSUM", True)
+    rng = np.random.default_rng(21)
+
+    def r(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def ref_attn(q, k, v, d):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) * (d ** -0.5)
+        return jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    # unpacked, single-KV fast path (d=40 pads to 128 -> lane 40 planted)
+    bh, n, m, d = 2, 96, 144, 40
+    q, k, v = r(bh, n, d), r(bh, m, d), r(bh, m, d)
+    got = pa.flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_attn(q, k, v, d)),
+                               atol=3e-5, rtol=1e-4)
+
+    # unpacked, streamed KV (explicit block_kv < m forces the online kernel;
+    # m=144 pads to 192 so the ragged-KV bias path is covered too)
+    got = pa.flash_attention(q, k, v, block_q=32, block_kv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_attn(q, k, v, d)),
+                               atol=3e-5, rtol=1e-4)
+
+    # gradients through the streamed lsum forward (bwd reconstructs p from
+    # the lse the lsum path stored)
+    f = lambda q_, k_, v_: jnp.sum(
+        pa.flash_attention(q_, k_, v_, block_q=32, block_kv=64, interpret=True) ** 2
+    )
+    g = lambda q_, k_, v_: jnp.sum(ref_attn(q_, k_, v_, d) ** 2)
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+    # packed layout, expansion-matmul path, single-KV and streamed
+    from gligen_tpu.ops.attention import multi_head_attention
+
+    b, h, c, n2, m2 = 1, 2, 40, 80, 112
+    q2, k2, v2 = r(b, n2, h * c), r(b, m2, h * c), r(b, m2, h * c)
+    want = multi_head_attention(q2, k2, v2, h, implementation="xla")
+    got = pa.flash_attention_packed(q2, k2, v2, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+    got = pa.flash_attention_packed(q2, k2, v2, h, block_q=16, block_kv=64,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    # packed transposed-out (t_out reads l from the planted output ROW)
+    got = pa.flash_attention_packed(q2, k2, v2, h, interpret=True,
+                                    transposed_out=True)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+    # degenerate fully-masked rows still saturate to 0, not NaN (l comes
+    # off the MXU lane as exactly 0 there)
+    mask = np.ones((b, m2), bool)
+    mask[0, :] = False
+    out = np.asarray(pa.flash_attention_packed(
+        q2, k2, v2, h, key_mask=jnp.asarray(mask), interpret=True
+    ))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
 def test_long_sequence_block_q_default(monkeypatch):
     """Streamed-KV long sequences (n >= 8192) default to the deeper
     2048-row q block measured fastest in the on-chip 16k sweep
@@ -308,11 +380,13 @@ def test_long_sequence_block_q_default(monkeypatch):
 
     seen = {}
 
-    def fake_flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret):
+    def fake_flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
+                   lsum_lane=None):
         seen["bq"], seen["bkv"] = block_q, block_kv
         return jnp.zeros_like(qp)
 
-    def fake_flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret):
+    def fake_flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv,
+                          interpret, lsum_lane=None):
         seen["bq"], seen["bkv"] = block_q, block_kv
         return jnp.zeros_like(qe)
 

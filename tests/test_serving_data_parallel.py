@@ -103,8 +103,9 @@ def test_batcher_pads_small_batch_to_mesh_bucket():
 
 # --------------------------------------------------------------- end to end
 
-def _small_meshed_session(batch_window_ms, inpaint=False):
-    """A REAL small pipeline sharded over the 8-device CPU mesh."""
+def _small_meshed_session(batch_window_ms, inpaint=False, meshed=True):
+    """A REAL small pipeline sharded over the 8-device CPU mesh
+    (``meshed=False``: the same pipeline on one device)."""
     from gligen_tpu.diffusion.schedule import DiffusionSchedule
     from gligen_tpu.inference.pipeline import GenerationPipeline, GligenComponents
     from gligen_tpu.models.clip_text import CLIPTextModel
@@ -148,8 +149,8 @@ def _small_meshed_session(batch_window_ms, inpaint=False):
     }
     comps = GligenComponents(unet=unet, vae=vae, text_encoder=text,
                              schedule=schedule, params=params)
-    mesh = make_mesh()
-    assert mesh.devices.size == 8
+    mesh = make_mesh() if meshed else None
+    assert mesh is None or mesh.devices.size == 8
     pipe = GenerationPipeline(comps, mesh=mesh)
     return ServingSession(pipe, HashTokenizer(),
                           batch_window_ms=batch_window_ms)

@@ -152,6 +152,89 @@ def parse(outdir: str, top: int = 45) -> None:
         print(f"  {t*1e3:9.3f} ms  x{calls[name]:<5d} {name[:110]}")
 
 
+def gaps(outdir: str, top: int = 40) -> None:
+    """Device idle-time analysis (VERDICT r4 #1a: the ~14 ms/step
+    'scheduling gaps' component).  Walks the TPU plane's leaf XLA-op
+    timeline, measures the spans where the core sits idle between ops,
+    and attributes each gap to the op pair around it — distinguishing
+    kernel-launch bubbles (many small gaps) from layout/copy stalls
+    (few big gaps around specific ops)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
+
+    xplanes = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True))
+    if not xplanes:
+        print("no xplane found under", outdir)
+        sys.exit(1)
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    tpu = next((p for p in xs.planes if "/device:TPU" in p.name), None)
+    if tpu is None:
+        print("no TPU plane; planes:", [p.name for p in xs.planes])
+        sys.exit(1)
+    meta = dict(tpu.event_metadata)
+
+    evs = []
+    for line in tpu.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            m = meta.get(ev.metadata_id)
+            name = m.name if m else "?"
+            if name.startswith("%while"):  # container: overlaps its leaves
+                continue
+            evs.append((ev.offset_ps, ev.offset_ps + ev.duration_ps, name))
+    if not evs:
+        print("no leaf ops on the XLA Ops line")
+        sys.exit(1)
+    evs.sort()
+    span = evs[-1][1] - evs[0][0]
+    busy = 0
+    gap_list = []  # (gap_ps, prev_name, next_name)
+    cur_end = evs[0][0]
+    for start, end, name in evs:
+        if start > cur_end:
+            gap_list.append((start - cur_end, prev_name, name))
+        busy += max(0, end - max(start, cur_end))
+        if end > cur_end:
+            cur_end = end
+            prev_name = name
+    idle = span - busy
+    print(f"== device timeline: span {span/1e9:.3f} ms, busy {busy/1e9:.3f} ms, "
+          f"idle {idle/1e9:.3f} ms ({100*idle/span:.1f}%) ==")
+    n_g = len(gap_list)
+    tot_g = sum(g for g, _, _ in gap_list)
+    print(f"{n_g} gaps totaling {tot_g/1e9:.3f} ms "
+          f"(mean {tot_g/max(1,n_g)/1e6:.2f} us)")
+
+    # histogram by gap size
+    import collections as _c
+
+    hist = _c.Counter()
+    hist_t = _c.Counter()
+    for g, _, _ in gap_list:
+        us = g / 1e6
+        b = ("<1us" if us < 1 else "1-5us" if us < 5 else "5-20us"
+             if us < 20 else "20-100us" if us < 100 else ">=100us")
+        hist[b] += 1
+        hist_t[b] += g
+    for b in ("<1us", "1-5us", "5-20us", "20-100us", ">=100us"):
+        if hist[b]:
+            print(f"  {b:9s} x{hist[b]:<6d} {hist_t[b]/1e9:8.3f} ms")
+
+    # attribute gap time to the FOLLOWING op (launch/prologue cost shows
+    # up as idle before the op starts)
+    by_next = _c.Counter()
+    cnt_next = _c.Counter()
+    for g, _p, nxt in gap_list:
+        key = nxt.split(" = ")[0][:80]
+        by_next[key] += g
+        cnt_next[key] += 1
+    print(f"\n== top {top} ops by idle time attributed BEFORE them ==")
+    for k, t in by_next.most_common(top):
+        print(f"  {t/1e9:8.3f} ms  x{cnt_next[k]:<5d} {k}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
@@ -162,12 +245,16 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--outdir", default="/tmp/prof_serve")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--gaps", action="store_true",
+                    help="device idle-time (scheduling gap) analysis")
     ap.add_argument("--top", type=int, default=45)
     args = ap.parse_args()
     if not args.parse_only:
         alpha = [float(x) for x in args.alpha.split(",")] if args.alpha else None
         capture(args.outdir, args.batch, args.steps, args.latent, alpha)
     parse(args.outdir, args.top)
+    if args.gaps:
+        gaps(args.outdir, args.top)
 
 
 if __name__ == "__main__":
