@@ -305,8 +305,18 @@ def _fused_self_attn(x, kv, ln, attn_w, heads, dim_head, gate=None):
         m_real = kv.shape[1]
         pad_to = ((m_real + 127) // 128) * 128
         k, v = ln_matmuls(kv.astype(x.dtype), s, b, (wkp, wvp), interpret=interp,
-                          pad_to=pad_to)
-        key_mask = (jnp.arange(pad_to) < m_real)[None, :].repeat(x.shape[0], 0)
+                          pad_to=pad_to, zero_tail=True)
+        # tail-zeros contract: ln_matmuls emits the pad rows [m_real,
+        # pad_to) as exact zeros (one select in its boundary block), so
+        # the flash kernel needs NO masking — it just subtracts the
+        # static pad count from the softmax denominator (zero passes over
+        # the score tile; see flash_attention_packed tail_zeros).
+        out = flash_attention_packed(
+            q, k, v, heads, valid_len=m_real, tail_zeros=True,
+            true_dim=dim_head, interpret=interp
+        )
+        return matmul_residual(out, _pad_head_rows(wo, heads), bo, x, gate=gate,
+                               interpret=interp)
     out = flash_attention_packed(
         q, k, v, heads, key_mask=key_mask, true_dim=dim_head, interpret=interp
     )

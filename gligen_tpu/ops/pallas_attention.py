@@ -91,6 +91,51 @@ _NOMAX = os.environ.get("GLIGEN_TPU_FLASH_NOMAX", "1") == "1"
 #   multiplies it by a zero-padded weight row or slices it off.  Only
 #   engages when the head dim actually has padding.
 _MXU_LSUM = os.environ.get("GLIGEN_TPU_FLASH_MXU_LSUM", "0") == "1"
+#   CHUNK_KV: process the single-KV block in unrolled in-kernel chunks of
+#   ~this many keys (0 = off).  Rationale: the single-KV fast path's body
+#   is serial [QK dot -> exp2 -> PV dot]; the exp2 pass over the (BQ, M)
+#   score tile is ~2.2G VPU transcendentals per 4096-token call that the
+#   MXU waits on.  With independent chunks the Mosaic scheduler can run
+#   chunk c's exp2 (VPU) while chunk c+1's QK dot occupies the MXU —
+#   the streaming GRID form pays per-iteration scratch/index overhead
+#   that measured slower (tools/bench_sweep_attn.py), in-kernel unrolling
+#   does not.  NOMAX only (no cross-chunk rescale).
+#   Measured (tools/bench_sweep_attn.py, v5e-1, 2026-08-19, CFG batch 16,
+#   n=4096, paired): 8.10 -> 7.35-7.48 ms (-8 to -9%, 75% padded MXU) at
+#   4x1024 on the attn1 shape; the fuser shape needs tail_zeros + the
+#   128-aligned non-uniform split (see _kv_chunks) to join the win.
+#   Chunk depth is a sweet spot: 2 chunks 7.95, 4 chunks 7.48, 8 chunks
+#   7.88 ms.  Default 1056 -> ~1024-row chunks at the ds1 KV lengths.
+_CHUNK_KV = int(os.environ.get("GLIGEN_TPU_FLASH_CHUNK_KV", "1056"))
+#   MXU_BIAS: in the chunked single-KV kernel, plant the additive key bias
+#   (log2 units) into the first zero-padded head lane of K and a matching
+#   1.0 into that lane of the scaled Q — the QK dot then emits s + bias
+#   directly using MXU cycles already spent on the padding zeros, deleting
+#   the (BQ, M) VPU broadcast-add pass.  Exact: the products are formed in
+#   the same fp32 accumulation as the explicit add; only engages when the
+#   head dim has padding (pad_lane is not None).
+_MXU_BIAS = os.environ.get("GLIGEN_TPU_FLASH_MXU_BIAS", "0") == "1"
+
+
+def _kv_chunks(m: int, target: int) -> tuple:
+    """In-kernel KV chunk sizes; (m,) = no chunking.
+
+    Every chunk is 128-row (lane-tile) aligned: a non-multiple-of-128
+    score-tile minor dim costs Mosaic a ragged last lane tile per chunk
+    (m=4224 at 4x1056 measured ~1 ms/call slower than the aligned
+    m=4096 4x1024 split at only +3% keys).  Chunks need not be uniform —
+    4224 splits as (1024, 1024, 1024, 1152), matching attn1's chunk
+    granularity instead of falling back to a coarser 3x1408.  Deeper
+    chunking measured slower (8x512 at m=4096: 7.88 vs 7.48 ms), so the
+    target is the knob, not "as many as possible"."""
+    if target <= 0 or m <= target or m % 128:
+        return (m,)
+    base = max(128, (target // 128) * 128)
+    n_full = m // base
+    sizes = [base] * (n_full - 1)
+    sizes.append(m - base * (n_full - 1))  # remainder folds into the last
+    assert sum(sizes) == m and all(s % 128 == 0 for s in sizes)
+    return tuple(sizes)
 
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
@@ -99,8 +144,98 @@ _SEMANTICS = pltpu.CompilerParams(
 
 # ------------------------------------------------------------ forward
 
+def _fwd_kernel_single_chunked(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                               scale, chunk_sizes, t_out=False, lsum_lane=None,
+                               pad_lane=None, valid_len=None, tail_zeros=False):
+    """Single-KV forward with the KV block processed in ``chunk_sizes``
+    unrolled in-kernel chunks (NOMAX form only — shift-free softmax needs
+    no cross-chunk rescale, so partial l/o just add).  The chunks'
+    QK dots, exp2 passes, and PV dots are mutually independent except for
+    the cheap accumulator adds, letting the Mosaic scheduler overlap
+    chunk c's exp2 (VPU) with chunk c+1's score dot (MXU) — the serial
+    [QK -> exp2 -> PV] body otherwise leaves the MXU idle for the whole
+    softmax pass (~2.2G transcendentals per 4096-token call)."""
+    assert _NOMAX, "in-kernel KV chunking requires the shift-free softmax"
+    if _BF16_QK:
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+    else:
+        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
+    # MXU bias plant: Q's first padded head lane carries 1.0 and K's
+    # carries bias*log2e, so the score dot emits s + bias with no VPU
+    # broadcast-add over the (BQ, M) tile (see _MXU_BIAS).
+    mxu_bias = bias_ref is not None and pad_lane is not None and not _BF16_QK
+    if mxu_bias:
+        q_lanes = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        q = jnp.where(q_lanes == pad_lane, 1.0, q)
+    m_tot = k_ref.shape[1]
+    assert sum(chunk_sizes) == m_tot, (chunk_sizes, m_tot)
+    bq = q.shape[0]
+    d_pad = v_ref.shape[2]
+    o_acc = jnp.zeros((d_pad, bq) if t_out else (bq, d_pad), jnp.float32)
+    l_acc = jnp.zeros((bq,), jnp.float32)
+    c0 = 0
+    for ch in chunk_sizes:
+        c1 = c0 + ch
+        k = k_ref[0, c0:c1, :]
+        if not _BF16_QK:
+            k = k.astype(jnp.float32)
+        if mxu_bias:
+            k_lanes = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+            bias_col = bias_ref[0, 0, c0:c1][:, None] * LOG2E
+            k = jnp.where(k_lanes == pad_lane, bias_col, k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if bias_ref is not None and not mxu_bias:
+            s = s + bias_ref[0, 0, c0:c1][None, :] * LOG2E
+        if valid_len is not None and not tail_zeros and c1 > valid_len:
+            # static tail-padding mask: only the boundary chunk pays a
+            # select pass; fully-valid chunks are compile-time bias-free.
+            # (with tail_zeros the pad rows need NO masking at all — see
+            # the denominator subtraction below)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + c0
+            s = jnp.where(cols < valid_len, s, NEG_INF)
+        p = jnp.exp2(jnp.minimum(s, 80.0))
+        v = v_ref[0, c0:c1, :].astype(jnp.float32)
+        if _BF16_P:
+            p = p.astype(jnp.bfloat16)
+            v = v_ref[0, c0:c1, :]
+        if lsum_lane is not None:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            v = jnp.where(lanes == lsum_lane, jnp.ones_like(v), v)
+        else:
+            l_acc = l_acc + jnp.sum(p, axis=1)
+        if t_out:
+            o_acc = o_acc + jax.lax.dot_general(
+                v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        else:
+            o_acc = o_acc + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        c0 = c1
+    if lsum_lane is not None:
+        axis = 0 if t_out else 1
+        idx = jax.lax.broadcasted_iota(jnp.int32, o_acc.shape, axis)
+        l_acc = jnp.sum(jnp.where(idx == lsum_lane, o_acc, 0.0), axis=axis)
+    if valid_len is not None and tail_zeros:
+        # tail-zeros contract: rows [valid_len, M) of K and V are exactly
+        # zero, so each contributes s=0 -> p=exp2(0)=1 to the denominator
+        # and 1*0=0 to the numerator.  The ONLY correction needed is
+        # subtracting the compile-time pad count from l — zero masking
+        # passes over the score tile.
+        l_acc = l_acc - jnp.float32(m_tot - valid_len)
+    l = jnp.maximum(l_acc, jnp.float32(1e-37))
+    if t_out:
+        o_ref[0] = (o_acc / l[None, :]).astype(o_ref.dtype)
+    else:
+        o_ref[0] = (o_acc / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, :] = jnp.log2(l)
+
+
 def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
-                       t_out=False, lsum_lane=None):
+                       t_out=False, lsum_lane=None, chunk_sizes=None,
+                       pad_lane=None, valid_len=None, tail_zeros=False):
     """Specialized single-KV-block forward: when the whole (padded) KV fits
     one block there is no online-softmax state to carry — no scratch
     init/update passes over the (BQ, M) tile, just softmax + two matmuls.
@@ -113,6 +248,13 @@ def _fwd_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
     which is the sublane-contraction ("K-on-second-minor") operand layout
     the out-projection matmul wants — killing the HBM transpose XLA
     otherwise inserts between the custom call and the next dot."""
+    if (chunk_sizes is not None and len(chunk_sizes) > 1) or valid_len is not None:
+        return _fwd_kernel_single_chunked(
+            q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, scale=scale,
+            chunk_sizes=chunk_sizes or (k_ref.shape[1],), t_out=t_out,
+            lsum_lane=lsum_lane,
+            pad_lane=pad_lane, valid_len=valid_len, tail_zeros=tail_zeros,
+        )
     if _BF16_QK:
         # pre-scale in fp32, cast back: ~0.4% relative logit error, the
         # MXU runs a guaranteed single bf16 pass
@@ -238,9 +380,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc
 
 
 def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
-              lsum_lane=None):
+              lsum_lane=None, pad_lane=None):
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
+    chunks = _kv_chunks(block_kv, _CHUNK_KV) if _NOMAX else (block_kv,)
     if m_pad == block_kv:
         # single KV block: 2-D all-parallel grid, no online-softmax state
         in_specs = [
@@ -255,7 +398,8 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
             )
             args.append(bias)
             kernel = functools.partial(_fwd_kernel_single, scale=scale,
-                                       lsum_lane=lsum_lane)
+                                       lsum_lane=lsum_lane, chunk_sizes=chunks,
+                                       pad_lane=pad_lane)
         else:
             kernel = functools.partial(
                 lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
@@ -263,6 +407,7 @@ def _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
                 ),
                 scale=scale,
                 lsum_lane=lsum_lane,
+                chunk_sizes=chunks,
             )
         return pl.pallas_call(
             kernel,
@@ -404,20 +549,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 # ------------------------------------------------------- custom-vjp core
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None,
+           pad_lane=None):
     out, _ = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
-                       lsum_lane)
+                       lsum_lane, pad_lane)
     return out
 
 
-def _flash_fwd(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None):
+def _flash_fwd(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum_lane=None,
+               pad_lane=None):
     out, lse = _fwd_impl(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
-                         lsum_lane)
+                         lsum_lane, pad_lane)
     return out, (qp, kp, vp, bias, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_kv, interpret, lsum_lane, res, do):
+def _flash_bwd(scale, block_q, block_kv, interpret, lsum_lane, pad_lane, res, do):
     qp, kp, vp, bias, out, lse = res
     bh, n_pad, d_pad = qp.shape
     m_pad = kp.shape[1]
@@ -599,7 +746,9 @@ def flash_attention(
 
     # MXU row-sum lane: the first zero-padded head lane (sliced off below)
     lsum = d if (_MXU_LSUM and d < d_pad) else None
-    out = _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum)
+    pad_lane = d if (_MXU_BIAS and d < d_pad) else None
+    out = _flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret, lsum,
+                 pad_lane)
     return out[:, :n, :d]
 
 
@@ -623,10 +772,12 @@ def _pack_matrix(heads: int, c: int, cpad: int, dtype) -> jax.Array:
 
 def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
                      lsum_lane=None,
-                     t_out=False):
+                     t_out=False, pad_lane=None, valid_len=None,
+                     tail_zeros=False):
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
     cpad = e_dim // heads
+    chunks = _kv_chunks(block_kv, _CHUNK_KV) if _NOMAX else (block_kv,)
     if m_pad == block_kv:
         # single KV block: 3-D all-parallel grid, no online-softmax state
         in_specs = [
@@ -641,7 +792,9 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
             )
             args.append(bias)
             kernel = functools.partial(_fwd_kernel_single, scale=scale, t_out=t_out,
-                                       lsum_lane=lsum_lane)
+                                       lsum_lane=lsum_lane, chunk_sizes=chunks,
+                                       pad_lane=pad_lane, valid_len=valid_len,
+                                       tail_zeros=tail_zeros)
         else:
             kernel = functools.partial(
                 lambda qr, kr, vr, o, lse, **kw: _fwd_kernel_single(
@@ -650,6 +803,9 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
                 scale=scale,
                 t_out=t_out,
                 lsum_lane=lsum_lane,
+                chunk_sizes=chunks,
+                valid_len=valid_len,
+                tail_zeros=tail_zeros,
             )
         if t_out:
             # output stored (B, E, N): sublane-contraction operand layout
@@ -726,52 +882,67 @@ def _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpre
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
-                  lsum_lane=None):
+                  lsum_lane=None, pad_lane=None, valid_len=None, tail_zeros=False):
     out, _ = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv,
-                              interpret, lsum_lane)
+                              interpret, lsum_lane, pad_lane=pad_lane,
+                              valid_len=valid_len, tail_zeros=tail_zeros)
     return out
 
 
 def _flash_packed_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
-                      lsum_lane=None):
+                      lsum_lane=None, pad_lane=None, valid_len=None,
+                      tail_zeros=False):
     out, lse = _packed_fwd_impl(qe, ke, ve, bias, heads, scale, block_q, block_kv,
-                                interpret, lsum_lane)
+                                interpret, lsum_lane, pad_lane=pad_lane,
+                                valid_len=valid_len, tail_zeros=tail_zeros)
     return out, (qe, ke, ve, bias, out, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
-                    lsum_lane=None):
+                    lsum_lane=None, pad_lane=None, valid_len=None, tail_zeros=False):
     out, _ = _packed_fwd_impl(
         qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, lsum_lane,
-        t_out=True
+        t_out=True, pad_lane=pad_lane, valid_len=valid_len, tail_zeros=tail_zeros
     )
     return out
 
 
 def _flash_packed_t_fwd(qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret,
-                        lsum_lane=None):
+                        lsum_lane=None, pad_lane=None, valid_len=None,
+                        tail_zeros=False):
     out, lse = _packed_fwd_impl(
         qe, ke, ve, bias, heads, scale, block_q, block_kv, interpret, lsum_lane,
-        t_out=True
+        t_out=True, pad_lane=pad_lane, valid_len=valid_len, tail_zeros=tail_zeros
     )
     return out, (qe, ke, ve, bias, out, lse)
 
 
-def _flash_packed_t_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane, res, do):
+def _flash_packed_t_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane,
+                        pad_lane, valid_len, tail_zeros, res, do):
     # Reuse the (B, N, E)-layout backward kernels: transpose the stored
     # output and cotangent once (training-only cost; serving never
     # differentiates through this path).
     qe, ke, ve, bias, out_t, lse = res
     res2 = (qe, ke, ve, bias, out_t.transpose(0, 2, 1), lse)
     return _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane,
+                             pad_lane, valid_len, tail_zeros,
                              res2, do.transpose(0, 2, 1))
 
 
-def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane, res, do):
+def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane,
+                      pad_lane, valid_len, tail_zeros, res, do):
     qe, ke, ve, bias, out, lse = res
+    synth_bias = bias is None and valid_len is not None
+    if synth_bias:
+        # the forward masked the key tail statically; the backward kernels
+        # reconstruct p from (s, lse) and need the same mask as a bias row
+        bias = jnp.where(
+            jnp.arange(ke.shape[1])[None, None, :] < valid_len, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        bias = jnp.broadcast_to(bias, (qe.shape[0], 1, ke.shape[1]))
     b, n_pad, e_dim = qe.shape
     m_pad = ke.shape[1]
     cpad = e_dim // heads
@@ -889,6 +1060,8 @@ def _flash_packed_bwd(heads, scale, block_q, block_kv, interpret, lsum_lane, res
         dbias = jnp.sum(
             dbias_h.reshape(b, heads, m_pad), axis=1, keepdims=True
         ).astype(bias.dtype)
+        if synth_bias:
+            dbias = None  # the caller passed bias=None (static valid_len)
     else:
         dk, dv = outs
         dbias = None
@@ -910,6 +1083,8 @@ def flash_attention_packed(
     interpret: bool = False,
     true_dim: Optional[int] = None,
     transposed_out: bool = False,
+    valid_len: Optional[int] = None,
+    tail_zeros: bool = False,
 ) -> jax.Array:
     """Multi-head flash attention over the PACKED layout.
 
@@ -927,7 +1102,24 @@ def flash_attention_packed(
     back to the normal layout + an explicit transpose otherwise).  The
     (B, E, N) row-major layout is the out-projection dot's preferred
     operand form, so no XLA layout-flip copy appears between the custom
-    call and the projection."""
+    call and the projection.
+
+    ``valid_len``: STATIC promise that keys [valid_len, M) are padding and
+    everything before is valid — the gated-SA fuser's tail-pad mask.  The
+    single-KV chunked kernel then masks only the boundary chunk with one
+    select pass (fully-valid chunks are compile-time mask-free) instead
+    of paying a (BQ, M) bias broadcast-add on every score tile, and no
+    (B, 1, M) mask array is built at all.  Mutually exclusive with
+    ``key_mask``.
+
+    ``tail_zeros``: strengthens ``valid_len`` with the promise that K and
+    V rows [valid_len, M) are EXACTLY ZERO (ln_matmuls(zero_tail=True)
+    emits them that way).  Then no masking is needed at all under the
+    shift-free softmax: a zero key row scores s=0 -> p=exp2(0)=1 and a
+    zero value row adds nothing to the numerator, so the kernel just
+    subtracts the compile-time pad count from the softmax denominator —
+    the fuser's 4224-row KV runs at the mask-free attn1 rate.  The
+    backward still masks exactly (synthesized valid_len bias)."""
     b, n, hc = q.shape
     m = k.shape[1]
     c = hc // heads
@@ -958,10 +1150,20 @@ def flash_attention_packed(
     ke = _pad_to(ke, m_pad, 1)
     ve = _pad_to(ve, m_pad, 1)
 
+    assert key_mask is None or valid_len is None, "key_mask xor valid_len"
+    assert valid_len is not None or not tail_zeros, "tail_zeros needs valid_len"
+    single_kv_route = m_pad == block_kv
+    if valid_len is not None and (not single_kv_route or not _NOMAX):
+        # streaming (or textbook-softmax) kernels take the mask as a bias
+        # row; the static-tail fast path below is single-KV NOMAX only
+        key_mask = jnp.broadcast_to(jnp.arange(m)[None, :] < valid_len, (b, m))
+        valid_len = None
+    if valid_len is not None and valid_len >= m_pad:
+        valid_len = None  # nothing masked
     bias = None
     if key_mask is not None:
         bias = jnp.where(key_mask[:, None, :], 0.0, NEG_INF).astype(jnp.float32)
-    if m_pad != m:
+    if m_pad != m and valid_len is None:
         pad_bias = jnp.full((1, 1, m_pad), NEG_INF, jnp.float32).at[:, :, :m].set(0.0)
         bias = pad_bias if bias is None else _pad_to(bias, m_pad, 2) + pad_bias
     if bias is not None:
@@ -972,11 +1174,13 @@ def flash_attention_packed(
     # expansion-matmul path; None when the head dim fills cpad exactly.
     true_c = true_dim if true_dim is not None else c
     lsum = true_c if (_MXU_LSUM and true_c < cpad) else None
+    pad_lane = true_c if (_MXU_BIAS and true_c < cpad) else None
 
     single_kv = m_pad == block_kv
     if transposed_out and single_kv:
         out = _flash_packed_t(qe, ke, ve, bias, heads, scale, block_q, block_kv,
-                              interpret, lsum)
+                              interpret, lsum, pad_lane, valid_len,
+                              valid_len is not None and tail_zeros)
         out = out[:, :, :n]  # (B, E, N)
         if expand is not None:
             # expand is (F, E) with orthonormal 0/1 rows; contracting its E
@@ -984,7 +1188,8 @@ def flash_attention_packed(
             out = jnp.einsum("fe,ben->bfn", expand, out)
         return out
     out = _flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv,
-                        interpret, lsum)
+                        interpret, lsum, pad_lane, valid_len,
+                        valid_len is not None and tail_zeros)
     out = out[:, :n, :]
     if expand is not None:
         out = out @ expand.T  # exact inverse: E rows are orthonormal 0/1

@@ -80,7 +80,8 @@ def _ln_rows(x, s, b, eps):
 
 # ------------------------------------------------------------ ln_matmuls
 
-def _ln_matmuls_kernel(x_ref, s_ref, b_ref, *rest, n_w, eps):
+def _ln_matmuls_kernel(x_ref, s_ref, b_ref, *rest, n_w, eps, block_n,
+                       zero_from=None):
     w_refs = rest[:n_w]
     o_refs = rest[n_w:]
     ln = _ln_rows(x_ref[0], s_ref[:], b_ref[:], eps)
@@ -89,6 +90,20 @@ def _ln_matmuls_kernel(x_ref, s_ref, b_ref, *rest, n_w, eps):
             ln, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
+    if zero_from is not None:
+        # zero_tail contract: output rows >= zero_from are exactly 0 (a
+        # pad row is otherwise LayerNorm(0)@W = bias@W).  Only blocks
+        # overlapping the tail pay the select — for the fuser KV site
+        # that is 1 of 6 blocks.
+        base = pl.program_id(1) * block_n
+
+        @pl.when(base + block_n > zero_from)
+        def _zero_tail():
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_n, 1), 0) + base
+            for o_ref in o_refs:
+                o_ref[0] = jnp.where(
+                    rows < zero_from, o_ref[0], jnp.zeros_like(o_ref[0]))
 
 
 def _ln_matmuls_ref(x, s, b, ws, eps):
@@ -98,13 +113,14 @@ def _ln_matmuls_ref(x, s, b, ws, eps):
     return tuple(jnp.dot(ln, w, preferred_element_type=x.dtype) for w in ws)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to, zero_tail=False):
     bsz, n, c = x.shape
     n_pad = pad_to or ((n + block_n - 1) // block_n) * block_n
     assert n_pad % block_n == 0 and n_pad >= n, (n, n_pad, block_n)
     xp = _pad_rows(x, n_pad)
     n_w = len(ws)
+    zero_from = n if (zero_tail and n_pad != n) else None
     in_specs = [
         pl.BlockSpec((1, block_n, c), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
@@ -114,7 +130,8 @@ def _ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to):
         for w in ws
     ]
     outs = pl.pallas_call(
-        functools.partial(_ln_matmuls_kernel, n_w=n_w, eps=eps),
+        functools.partial(_ln_matmuls_kernel, n_w=n_w, eps=eps,
+                          block_n=block_n, zero_from=zero_from),
         grid=(bsz, n_pad // block_n),
         in_specs=in_specs,
         out_specs=tuple(
@@ -132,11 +149,12 @@ def _ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to):
     return outs
 
 
-def _ln_matmuls_fwd(x, s, b, ws, eps, block_n, interpret, pad_to):
-    return _ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to), (x, s, b, ws)
+def _ln_matmuls_fwd(x, s, b, ws, eps, block_n, interpret, pad_to, zero_tail=False):
+    return (_ln_matmuls(x, s, b, ws, eps, block_n, interpret, pad_to, zero_tail),
+            (x, s, b, ws))
 
 
-def _ln_matmuls_bwd(eps, block_n, interpret, pad_to, res, dout):
+def _ln_matmuls_bwd(eps, block_n, interpret, pad_to, zero_tail, res, dout):
     x, s, b, ws = res
     n = x.shape[1]
     if pad_to is not None and pad_to != n:
@@ -150,7 +168,7 @@ _ln_matmuls.defvjp(_ln_matmuls_fwd, _ln_matmuls_bwd)
 
 def ln_matmuls(x, scale, bias, ws, eps: float = 1e-5,
                block_n: int = _DEFAULT_BLOCK_N, interpret: bool = False,
-               pad_to: int | None = None):
+               pad_to: int | None = None, zero_tail: bool = False):
     """Fused [LayerNorm -> k projections].
 
     x: (B, N, C); scale/bias: (C,) fp32; ws: tuple of (C, F_i) in x.dtype.
@@ -158,12 +176,14 @@ def ln_matmuls(x, scale, bias, ws, eps: float = 1e-5,
     multiple) are computed on zeros and sliced off — UNLESS ``pad_to`` is
     given, in which case outputs keep exactly pad_to rows.  NOTE: a tail
     row is LayerNorm(0) = the LN bias pushed through W, i.e. bias@W_i —
-    NOT zero.  Consumers must key-mask the tail (the flash-attention
-    callers do); do not rely on tail rows being zeros."""
+    NOT zero by default.  Consumers must key-mask the tail OR pass
+    ``zero_tail=True``, which zeroes rows >= N in the boundary block (one
+    select in 1 of the blocks) so the flash kernel can use the
+    tail-zeros denominator subtraction instead of any masking."""
     block_n = _pick_block(x.shape[1], block_n, pad_to)
     return _ln_matmuls(x, scale.astype(jnp.float32), bias.astype(jnp.float32),
                        tuple(w.astype(x.dtype) for w in ws), eps, block_n, interpret,
-                       pad_to)
+                       pad_to, zero_tail)
 
 
 # -------------------------------------------------------- matmul_residual

@@ -537,7 +537,12 @@ class ServingSession:
             from gligen_tpu.data.inpaint_masks import draw_masks_from_boxes
             from gligen_tpu.inference.cli import crop_and_resize
 
-            img = crop_and_resize(_b64_to_image(inst["input_image"]), resolution)
+            # The VAE must encode the input image to EXACTLY (latent,
+            # latent) — SD's VAE is x8 so that is `resolution`, but a
+            # differently-strided VAE (e.g. the x2 test model) needs
+            # latent x its own factor, not resolution.
+            vf = 2 ** (len(self.pipe.c.vae.ch_mult) - 1)
+            img = crop_and_resize(_b64_to_image(inst["input_image"]), latent * vf)
             arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
             inpaint_image = np.repeat(arr[None], batch, 0)
             if inst.get("actual_mask"):

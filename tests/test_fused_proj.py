@@ -208,3 +208,44 @@ def test_fused_block_small_token_count(fused_env):
         )
     finally:
         os.environ.pop("GLIGEN_TPU_FUSED_PROJ_MIN_N", None)
+
+
+def test_ln_matmuls_zero_tail():
+    """zero_tail=True makes the pad rows [N, pad_to) EXACTLY zero (they
+    are otherwise LayerNorm(0)@W = bias@W) while real rows are untouched,
+    and gradients still match the reference chain."""
+    from gligen_tpu.ops.basic import layer_norm_xla
+
+    rng = jax.random.PRNGKey(0)
+    n, pad_to = 150, 256
+    x = jax.random.normal(rng, (2, n, 96), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (96,)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(2), (96,)) * 0.1
+    ws = tuple(
+        jax.random.normal(jax.random.PRNGKey(3 + i), (96, 128)) * 0.05
+        for i in range(2)
+    )
+
+    outs = pm.ln_matmuls(x, s, b, ws, pad_to=pad_to, zero_tail=True,
+                         interpret=True)
+    ref = tuple(jnp.dot(layer_norm_xla(x, s, b), w) for w in ws)
+    for o, r in zip(outs, ref):
+        assert o.shape == (2, pad_to, 128)
+        np.testing.assert_allclose(np.asarray(o[:, :n]), np.asarray(r),
+                                   atol=2e-5)
+        assert np.all(np.asarray(o[:, n:]) == 0.0), "pad rows must be zero"
+
+    # plain pad (no zero_tail): tail rows are bias@W, NOT zero
+    outs_plain = pm.ln_matmuls(x, s, b, ws, pad_to=pad_to, interpret=True)
+    assert np.abs(np.asarray(outs_plain[0][:, n:])).max() > 0
+
+    # gradients flow only through the real rows, same as the reference
+    def f(x_):
+        return sum(o.sum() for o in pm.ln_matmuls(
+            x_, s, b, ws, pad_to=pad_to, zero_tail=True, interpret=True))
+
+    def f_ref(x_):
+        return sum(jnp.dot(layer_norm_xla(x_, s, b), w).sum() for w in ws)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(f_ref)(x)), atol=2e-4)

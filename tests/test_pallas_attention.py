@@ -381,12 +381,13 @@ def test_long_sequence_block_q_default(monkeypatch):
     seen = {}
 
     def fake_flash(qp, kp, vp, bias, scale, block_q, block_kv, interpret,
-                   lsum_lane=None):
+                   lsum_lane=None, pad_lane=None, *a):
         seen["bq"], seen["bkv"] = block_q, block_kv
         return jnp.zeros_like(qp)
 
     def fake_flash_packed(qe, ke, ve, bias, heads, scale, block_q, block_kv,
-                          interpret, lsum_lane=None):
+                          interpret, lsum_lane=None, pad_lane=None,
+                          valid_len=None, *a):
         seen["bq"], seen["bkv"] = block_q, block_kv
         return jnp.zeros_like(qe)
 
@@ -412,3 +413,125 @@ def test_long_sequence_block_q_default(monkeypatch):
     # Explicit block_q still wins over the heuristic.
     pa.flash_attention_packed(q, k, k, heads=8, true_dim=40, block_q=1024)
     assert seen["bq"] == 1024
+
+
+def test_chunked_single_kv_matches_unchunked(monkeypatch):
+    """The in-kernel KV-chunked single-KV forward (GLIGEN_TPU_FLASH_CHUNK_KV,
+    default 1056: VPU exp2 of chunk c overlaps chunk c+1's MXU score dot —
+    measured -7.8% at the 4096-token ds1 shape) is numerically identical to
+    the one-shot kernel, including the MXU bias-lane plant."""
+    import importlib
+
+    import gligen_tpu.ops.pallas_attention as pa
+
+    b, h, n, m, c = 2, 2, 256, 384, 40
+    q, k, v = _rand(b, n, h * 128), _rand(b, m, h * 128), _rand(b, m, h * 128)
+    lane_ok = (jnp.arange(128) < c)[None, None, :]
+
+    def zero_pad(x, length):
+        return (x.reshape(b, length, h, 128) * lane_ok).reshape(b, length, h * 128)
+
+    q, k, v = zero_pad(q, n), zero_pad(k, m), zero_pad(v, m)
+    key_mask = jnp.broadcast_to(jnp.arange(m)[None, :] < m - 7, (b, m))
+
+    def run():
+        importlib.reload(pa)
+        out = pa.flash_attention_packed(
+            q, k, v, h, key_mask=key_mask, true_dim=c, interpret=True)
+        out_v = pa.flash_attention_packed(
+            q, k, v, h, valid_len=m - 7, true_dim=c, interpret=True)
+        return out, out_v
+
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_CHUNK_KV", "0")
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_MXU_BIAS", "0")
+    base, base_v = run()
+    np.testing.assert_allclose(np.asarray(base_v), np.asarray(base), atol=1e-6)
+
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_CHUNK_KV", "128")
+    for mxu_bias in ("0", "1"):
+        monkeypatch.setenv("GLIGEN_TPU_FLASH_MXU_BIAS", mxu_bias)
+        got, got_v = run()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(base), atol=1e-6)
+
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_CHUNK_KV", "1056")
+    monkeypatch.setenv("GLIGEN_TPU_FLASH_MXU_BIAS", "0")
+    importlib.reload(pa)  # restore default module state for other tests
+
+
+def test_valid_len_gradients_match_key_mask():
+    """valid_len's synthesized-bias backward equals the key_mask backward."""
+    from gligen_tpu.ops.pallas_attention import flash_attention_packed
+
+    b, h, n, m, c = 1, 2, 128, 256, 40
+    q, k, v = _rand(b, n, h * 128), _rand(b, m, h * 128), _rand(b, m, h * 128)
+    valid = m - 19
+    key_mask = jnp.broadcast_to(jnp.arange(m)[None, :] < valid, (b, m))
+
+    def f_mask(q, k, v):
+        return flash_attention_packed(
+            q, k, v, h, key_mask=key_mask, true_dim=c, interpret=True).sum()
+
+    def f_valid(q, k, v):
+        return flash_attention_packed(
+            q, k, v, h, valid_len=valid, true_dim=c, interpret=True).sum()
+
+    gm = jax.grad(f_mask, argnums=(0, 1, 2))(q, k, v)
+    gv = jax.grad(f_valid, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_tail_zeros_matches_key_mask():
+    """tail_zeros (zeroed K/V pad rows + denominator subtraction, ZERO
+    masking passes in the kernel) must equal the key_mask result, forward
+    and backward, chunked and unchunked."""
+    import importlib
+
+    import gligen_tpu.ops.pallas_attention as pa
+
+    b, h, n, m, c = 2, 2, 256, 384, 40
+    valid = m - 19
+    q, k, v = _rand(b, n, h * 128), _rand(b, m, h * 128), _rand(b, m, h * 128)
+    lane_ok = (jnp.arange(128) < c)[None, None, :]
+    row_ok = (jnp.arange(m) < valid)[None, :, None]
+
+    def clean(x, length, rows=False):
+        x = (x.reshape(b, length, h, 128) * lane_ok).reshape(b, length, h * 128)
+        return x * row_ok if rows else x
+
+    q = clean(q, n)
+    k, v = clean(k, m, rows=True), clean(v, m, rows=True)  # the contract
+    key_mask = jnp.broadcast_to(jnp.arange(m)[None, :] < valid, (b, m))
+
+    def f_mask(q, k, v):
+        return pa.flash_attention_packed(
+            q, k, v, h, key_mask=key_mask, true_dim=c, interpret=True)
+
+    def f_tz(q, k, v):
+        return pa.flash_attention_packed(
+            q, k, v, h, valid_len=valid, tail_zeros=True, true_dim=c,
+            interpret=True)
+
+    base = f_mask(q, k, v)
+    got = f_tz(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+
+    gm = jax.grad(lambda *a: f_mask(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    gt = jax.grad(lambda *a: f_tz(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gm, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_kv_chunks_lane_aligned():
+    """Every in-kernel KV chunk is 128-row aligned (a ragged lane tile
+    per chunk measured ~1 ms/call slower at the fuser shape); non-uniform
+    splits keep attn1's chunk granularity at the fuser length."""
+    from gligen_tpu.ops.pallas_attention import _kv_chunks
+
+    assert _kv_chunks(4096, 1056) == (1024,) * 4
+    assert _kv_chunks(4224, 1056) == (1024, 1024, 1024, 1152)
+    assert _kv_chunks(512, 1056) == (512,)    # under target: no chunking
+    assert _kv_chunks(4224, 0) == (4224,)     # chunking off
+    assert _kv_chunks(4240, 1056) == (4240,)  # not 128-aligned: no chunking
+    assert _kv_chunks(1280, 1056) == (1280,)  # barely over: no silly split

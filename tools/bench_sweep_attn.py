@@ -41,6 +41,16 @@ def main():
     ap.add_argument("--block_q", type=str, default="256,512,1024,2048")
     ap.add_argument("--block_kv", type=str, default="single,512,1024,2048")
     ap.add_argument("--csv", default=None)
+    ap.add_argument(
+        "--fuser", action="store_true",
+        help="bench the REAL fuser serving configuration: kv pre-padded to "
+        "the 128-aligned length with ZEROED tail rows (as ln_matmuls "
+        "zero_tail emits them) + tail_zeros denominator subtraction — no "
+        "masking passes in the kernel at all")
+    ap.add_argument(
+        "--fuser_select", action="store_true",
+        help="the pre-tail_zeros fuser form: valid_len boundary-chunk "
+        "select (kept for A/B against --fuser)")
     args = ap.parse_args()
 
     import jax
@@ -61,9 +71,16 @@ def main():
     for m in ms:
         rng = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(rng, 3)
+        fuser = args.fuser or args.fuser_select
+        m_alloc = ((m + 127) // 128) * 128 if fuser else m
+        valid = m if (fuser and m_alloc != m) else None
+        tail_zeros = args.fuser and valid is not None
         q = jax.random.normal(kq, (B, args.n, H * cpad), jnp.bfloat16) * 0.2
-        k = jax.random.normal(kk, (B, m, H * cpad), jnp.bfloat16) * 0.2
-        v = jax.random.normal(kv, (B, m, H * cpad), jnp.bfloat16) * 0.2
+        k = jax.random.normal(kk, (B, m_alloc, H * cpad), jnp.bfloat16) * 0.2
+        v = jax.random.normal(kv, (B, m_alloc, H * cpad), jnp.bfloat16) * 0.2
+        if tail_zeros:
+            row_ok = (jnp.arange(m_alloc) < m)[None, :, None]
+            k, v = k * row_ok, v * row_ok
         # real (unpadded) flops: QK + PV over true_dim / full M
         fl_real = 2 * B * H * args.n * m * (args.true_dim + args.true_dim)
         fl_pad = 2 * B * H * args.n * m * (cpad + cpad)
@@ -78,7 +95,8 @@ def main():
                     qi = qa * (1 + carry * 0).astype(qa.dtype)
                     o = flash_attention_packed(
                         qi, ka, va, H, true_dim=args.true_dim,
-                        block_q=_bq, block_kv=_bkv,
+                        block_q=_bq, block_kv=_bkv, valid_len=valid,
+                        tail_zeros=tail_zeros,
                     )
                     return carry + jnp.sum(o[0, 0, :8]).astype(jnp.float32) * 1e-30
 
