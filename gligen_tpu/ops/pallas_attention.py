@@ -137,6 +137,22 @@ def _kv_chunks(m: int, target: int) -> tuple:
     assert sum(sizes) == m and all(s % 128 == 0 for s in sizes)
     return tuple(sizes)
 
+def _long_block_q(block_kv: int, d_pad: int) -> int:
+    """Deep q-block for streamed long sequences, clamped to the VMEM
+    stack.  The r4 sweep picked block_q=2048 at the 16k ds1 UNet shape
+    (d_pad=128), but the streaming kernel's working set is dominated by
+    the (BQ, BKV) fp32 score tile + the fp32 q/acc blocks: at the VAE
+    decoder's 16k mid-attention (ONE 512-dim head) 2048x1024 needs
+    ~17.1M of the 16.2M scoped-vmem limit and the 1024^2 pipeline fails
+    to COMPILE (caught by the r5 e2e re-measurement; the r4 per-op sweep
+    only covered d_pad=128).  Halve block_q until the estimate fits a
+    conservative 12M budget."""
+    bq = _LONG_BLOCK_Q
+    while bq > _DEFAULT_BLOCK_Q and bq * (block_kv + 3 * d_pad) * 4 > 12 * 2**20:
+        bq //= 2
+    return max(bq, _DEFAULT_BLOCK_Q)
+
+
 _SEMANTICS = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel", "arbitrary")
 )
@@ -730,7 +746,9 @@ def flash_attention(
             block_kv = m_whole
     block_kv = min(block_kv, m)
     if block_q is None:
-        block_q = _LONG_BLOCK_Q if (block_kv < m_whole and n >= _LONG_SEQ_N) else _DEFAULT_BLOCK_Q
+        block_q = (_long_block_q(block_kv, d_pad)
+                   if (block_kv < m_whole and n >= _LONG_SEQ_N)
+                   else _DEFAULT_BLOCK_Q)
     block_q = min(block_q, max(8, n))
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv
@@ -1133,7 +1151,9 @@ def flash_attention_packed(
             block_kv = m_whole
     block_kv = min(block_kv, m)
     if block_q is None:
-        block_q = _LONG_BLOCK_Q if (block_kv < m_whole and n >= _LONG_SEQ_N) else _DEFAULT_BLOCK_Q
+        block_q = (_long_block_q(block_kv, cpad)
+                   if (block_kv < m_whole and n >= _LONG_SEQ_N)
+                   else _DEFAULT_BLOCK_Q)
     block_q = min(block_q, max(8, n))
     n_pad = ((n + block_q - 1) // block_q) * block_q
     m_pad = ((m + block_kv - 1) // block_kv) * block_kv

@@ -414,6 +414,14 @@ def test_long_sequence_block_q_default(monkeypatch):
     pa.flash_attention_packed(q, k, k, heads=8, true_dim=40, block_q=1024)
     assert seen["bq"] == 1024
 
+    # VAE-decoder mid-attention at 1024^2: ONE 512-dim head, 16k tokens.
+    # The deep 2048-row q block needs ~17.1M of the 16.2M scoped-vmem
+    # stack and the pipeline fails to COMPILE — the heuristic must clamp
+    # by the working-set estimate (caught by the r5 e2e re-measurement).
+    q = jnp.zeros((1, 16384, 512))
+    pa.flash_attention(q, q, q)
+    assert (seen["bq"], seen["bkv"]) == (1024, 1024)
+
 
 def test_chunked_single_kv_matches_unchunked(monkeypatch):
     """The in-kernel KV-chunked single-KV forward (GLIGEN_TPU_FLASH_CHUNK_KV,
