@@ -52,8 +52,18 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--breakdown", action="store_true",
                     help="also time encoders / fwd / fwd+bwd as separate programs")
+    ap.add_argument("--remat", choices=("full", "dots", "none"), default=None,
+                    help="transformer-block remat policy A/B "
+                    "(GLIGEN_TPU_REMAT_POLICY)")
+    ap.add_argument("--cached_latents", action="store_true",
+                    help="feed precomputed VAE posterior moments (the "
+                    "tools/prepare_latents.py pipeline): the frozen encoders "
+                    "drop out of the step")
     ap.add_argument("--json", default=None, help="write the full result dict here")
     args = ap.parse_args()
+
+    if args.remat:
+        os.environ["GLIGEN_TPU_REMAT_POLICY"] = args.remat
 
     import jax
     import jax.numpy as jnp
@@ -90,6 +100,14 @@ def main():
         },
     }
 
+    if args.cached_latents:
+        mean, logvar = comps.vae.apply(
+            {"params": aux["autoencoder"]}, batch["image"],
+            method=comps.vae.encode_moments)
+        batch = {k: v for k, v in batch.items() if k != "image"}
+        batch["latent_moments"] = jax.block_until_ready(
+            jnp.concatenate([mean, logvar], -1).astype(jnp.float32))
+
     t0 = time.time()
     state, metrics = jitted(state, frozen, aux, batch, jax.random.PRNGKey(1))
     loss0 = float(jax.device_get(metrics["loss"]))
@@ -108,6 +126,8 @@ def main():
         "batch": b, "trainable_params": int(n_train),
         "sec_per_step": round(dt, 3), "compile_sec": round(compile_s, 1),
         "loss0": round(loss0, 4), "backend": jax.default_backend(),
+        "remat": os.environ.get("GLIGEN_TPU_REMAT_POLICY", "full"),
+        "cached_latents": bool(args.cached_latents),
     }
 
     if args.breakdown:

@@ -71,6 +71,7 @@ class TSVBoxDataset:
         random_flip: bool = True,
         projection_matrix_path: Optional[str] = None,
         seed: int = 0,
+        latent_cache: Optional[str] = None,
     ):
         assert which_layer_text in ("before", "after")
         assert which_layer_image in ("after", "after_renorm", "after_reproject")
@@ -89,6 +90,15 @@ class TSVBoxDataset:
         self.max_images = max_images
         self.random_flip = random_flip
         self.rng = np.random.default_rng(seed)
+
+        # Optional precomputed VAE posterior moments (data/latent_cache.py):
+        # items gain a "latent_moments" key and the train step skips the
+        # frozen VAE encode entirely.
+        self.latent_cache = None
+        if latent_cache is not None:
+            from gligen_tpu.data.latent_cache import LatentCache
+
+            self.latent_cache = LatentCache(latent_cache, expect_image_size=image_size)
 
         self.projection_matrix = None
         path = projection_matrix_path or os.environ.get("GLIGEN_TPU_PROJECTION_MATRIX")
@@ -167,7 +177,7 @@ class TSVBoxDataset:
         else:
             caption = ""
 
-        return {
+        out = {
             "id": item.get("data_id", index),
             "image": image,
             "boxes": boxes,
@@ -178,6 +188,10 @@ class TSVBoxDataset:
             "image_embeddings": image_embeddings,
             "caption": caption,
         }
+        if self.latent_cache is not None:
+            out["latent_moments"] = self.latent_cache.get(
+                index, trans_info["performed_flip"])
+        return out
 
 
 def _load_projection_matrix(path: str) -> np.ndarray:

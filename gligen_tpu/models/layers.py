@@ -667,7 +667,21 @@ class SpatialTransformer(nn.Module):
         x = x.reshape(b, h * w, -1)
         block_cls = BasicTransformerBlock
         if self.use_checkpoint:
-            block_cls = nn.remat(BasicTransformerBlock, static_argnums=())
+            # Training remat policy (read at trace time):
+            #   full — recompute the whole block in bwd (reference
+            #          use_checkpoint semantics; minimum memory),
+            #   dots — save matmul outputs, recompute elementwise/attention
+            #          (trades HBM for the bwd recompute of the projections),
+            #   none — store everything (fastest bwd, highest memory).
+            # Measured A/B: bench_train.py --remat; docs/perf.md training.
+            policy = os.environ.get("GLIGEN_TPU_REMAT_POLICY", "full")
+            if policy == "dots":
+                block_cls = nn.remat(
+                    BasicTransformerBlock, static_argnums=(),
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            elif policy != "none":
+                block_cls = nn.remat(BasicTransformerBlock, static_argnums=())
         for d in range(self.depth):
             x = block_cls(
                 self.heads, self.dim_head, self.fuser_type,

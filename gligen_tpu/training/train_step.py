@@ -149,10 +149,25 @@ def make_loss_fn(
         k_vae, k_t, k_noise, k_drop = jax.random.split(rng, 4)
 
         # frozen first stage + text encoder (trainer.py:331-333)
-        z = vae.apply(
-            {"params": aux_params["autoencoder"]}, batch["image"], k_vae,
-            method=vae.encode,
-        )
+        if "latent_moments" in batch:
+            # Cached-latent mode: the posterior moments (mean‖logvar, 8ch)
+            # were precomputed offline (tools/prepare_latents.py) — the
+            # frozen VAE encoder (~34% of the measured step, docs/perf.md)
+            # drops out of the step entirely.  Sampling below is the body
+            # of vae.encode, so given the same k_vae the loss is
+            # BIT-IDENTICAL to the live-encode path (pinned by
+            # tests/test_trainer.py::test_cached_latents_exact).
+            mean, logvar = jnp.split(batch["latent_moments"], 2, axis=-1)
+            mean = mean.astype(vae.dtype)
+            logvar = jnp.clip(logvar.astype(vae.dtype), -30.0, 20.0)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_vae, mean.shape, mean.dtype)
+            z = z * vae.scale_factor
+        else:
+            z = vae.apply(
+                {"params": aux_params["autoencoder"]}, batch["image"], k_vae,
+                method=vae.encode,
+            )
         context = text_encoder.apply(
             {"params": aux_params["text_encoder"]}, batch["input_ids"],
             method=text_encoder.encode,

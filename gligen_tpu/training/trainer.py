@@ -70,6 +70,11 @@ class TrainerConfig:
     preview_use_ema: bool = False  # sample previews from the EMA shadow
     vocab_path: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 10..12
+    # Directory of <tsv-stem>.latents.npy posterior-moment caches
+    # (tools/prepare_latents.py).  When set, the frozen VAE encode —
+    # ~34% of the measured step (docs/perf.md) — drops out of the train
+    # step; the loss is bit-identical for the same rng.
+    cached_latents: Optional[str] = None
 
 
 class Trainer:
@@ -210,7 +215,39 @@ class Trainer:
     def build_dataset(self):
         names = self.model_config.get("train_dataset_names", {})
         catalog = dataset_catalog(self.run.data_root)
-        return ConCatDataset.from_catalog(names, catalog)
+        ds = ConCatDataset.from_catalog(names, catalog)
+        if self.run.cached_latents:
+            self.attach_latent_caches(ds)
+        return ds
+
+    def attach_latent_caches(self, concat_ds) -> None:
+        """Attach a LatentCache to every member dataset (strict: a missing
+        cache file raises — a half-cached mixture would collate batches
+        with inconsistent keys).  Verifies the cache was built from THIS
+        run's VAE weights via the params digest."""
+        from gligen_tpu.data.latent_cache import (
+            LatentCache, cache_path_for, params_digest,
+        )
+
+        digest = params_digest(self.aux_params["autoencoder"])
+        for member in concat_ds.datasets:
+            tsv = getattr(getattr(member, "tsv_file", None), "tsv_file", None)
+            if tsv is None or not hasattr(member, "latent_cache"):
+                raise ValueError(
+                    f"cached_latents: {type(member).__name__} has no latent-cache "
+                    "support (only TSV box datasets do)")
+            path = cache_path_for(tsv, self.run.cached_latents)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no latent cache for {tsv}; build it with "
+                    f"`python tools/prepare_latents.py --tsv {tsv} --out {path}`")
+            cache = LatentCache(path, expect_image_size=member.image_size)
+            got = cache.meta.get("params_digest")
+            if got is not None and got != digest:
+                raise ValueError(
+                    f"latent cache {path} was built from different VAE weights "
+                    f"(digest {got} != {digest}); rebuild it")
+            member.latent_cache = cache
 
     def batches(self, dataset, prefetch: int = 2) -> Iterator[Dict[str, Any]]:
         """Infinite epoch-shuffled host batches (trainer.py:103-106), with a
@@ -308,10 +345,13 @@ class Trainer:
             "image": np.stack([it["image"] for it in items]),
             "input_ids": input_ids,
         }
+        if "latent_moments" in items[0]:
+            batch["latent_moments"] = np.stack(
+                [it["latent_moments"] for it in items])
         raw = {
             k: np.stack([np.asarray(it[k]) for it in items])
             for k in items[0]
-            if k not in ("image", "caption", "id")
+            if k not in ("image", "caption", "id", "latent_moments")
         }
         batch["grounding"] = self.adapter.prepare(raw)
         extra = self.adapter.prepare_extra(raw)
@@ -359,7 +399,13 @@ class Trainer:
                 if run.profile_dir and it == self.starting_iter + 10:
                     jax.profiler.start_trace(run.profile_dir)
                 host_batch = loader.__next__()
-                batch = shard_batch(self.mesh, host_batch)
+                device_batch = host_batch
+                if "latent_moments" in host_batch:
+                    # cached-latent mode: pixels never ship to the device
+                    # (the host copy stays for previews)
+                    device_batch = {
+                        k: v for k, v in host_batch.items() if k != "image"}
+                batch = shard_batch(self.mesh, device_batch)
                 key, sub = jax.random.split(key)
                 state, metrics = self._jitted(state, frozen, aux, batch, sub)
                 if run.profile_dir and it == self.starting_iter + 12:

@@ -49,6 +49,12 @@ def parse_args(argv=None):
         "first iters for debugging (reference main.py:47)",
     )
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    p.add_argument(
+        "--cached_latents", type=str, default=None,
+        help="directory of <tsv-stem>.latents.npy posterior-moment caches "
+        "(tools/prepare_latents.py); skips the frozen VAE encode in the "
+        "train step — bit-identical loss, ~1/3 less step time",
+    )
     return p.parse_args(argv)
 
 
@@ -94,6 +100,7 @@ def main(argv=None):
         seed=args.seed,
         workers=args.workers,
         preview_samples=not args.disable_inference_in_training,
+        cached_latents=args.cached_latents,
     )
     trainer = Trainer(config, run)
     trainer.start_training()

@@ -93,6 +93,11 @@ HEAVY = {
     ("test_eval", "test_lpips_clip_backbone_wiring"),                   # 8 s
     ("test_grounding_nets", "test_spatial_position_net_parity"),        # 8 s/param
     ("test_trainer", "test_inpaint_masks_vary_across_batches"),         # 7 s
+    # cached-latent training (r5): the digest-guard test stays quick as
+    # the subsystem smoke (write+attach+read, 12 s)
+    ("test_latent_cache", "test_cached_latents_exact_loss"),            # 45 s
+    ("test_latent_cache", "test_trainer_cached_latents_e2e"),           # 26 s
+    ("test_latent_cache", "test_cache_write_read_matches_live_encode"),  # 20 s
     # 5-7 s tests whose subsystem keeps a faster quick smoke:
     ("test_fused_proj", "test_fused_block_small_token_count"),          # 6.5 s
     ("test_pallas_norm", "test_group_norm_silu_grads_match_reference"),  # 6.1 s

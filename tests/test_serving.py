@@ -22,9 +22,14 @@ class _StubUNet:
         self.grounding_downsampler = downsampler
 
 
+class _StubVAE:
+    ch_mult = (1, 2, 4, 4)  # x8, like SD — server derives the crop factor
+
+
 class _StubComponents:
     def __init__(self, unet):
         self.unet = unet
+        self.vae = _StubVAE()
 
 
 class _StubPipeline:
