@@ -167,8 +167,17 @@ def _meta_image(meta, *keys: str) -> str:
 
 
 def prepare_batch_spatial(meta, batch: int, key: str, image_key: str):
-    """hed/canny/depth/normal maps (gligen_inference.py:222-297)."""
-    arr = load_image_pm1(_meta_image(meta, image_key, image_key.replace("_image", "")), 512, mode="RGB")
+    """hed/canny/depth/normal maps (gligen_inference.py:222-297).
+
+    Ships RAW uint8 pixels; the grounding net applies the exact /255·2−1
+    normalization on device (prepare_spatial_map) — 4× less host→device
+    traffic and the bytes stay compressible on the axon link."""
+    from PIL import Image
+
+    img = crop_and_resize(
+        Image.open(_meta_image(meta, image_key, image_key.replace("_image", ""))).convert("RGB"),
+        512)
+    arr = np.asarray(img, np.uint8)
     return {
         key: np.repeat(arr[None], batch, 0),
         "mask": np.ones(batch, np.float32),
@@ -176,18 +185,22 @@ def prepare_batch_spatial(meta, batch: int, key: str, image_key: str):
 
 
 def prepare_batch_sem(meta, batch: int, num_classes: int = 152):
-    """gligen_inference.py:317-338: label png -> one-hot."""
+    """gligen_inference.py:317-338: label png -> class-label map.
+
+    The reference one-hots host-side; here the uint8 LABELS ship to the
+    device and one-hot happens inside the jit (prepare_spatial_map) —
+    152×4 bytes/px → 1 byte/px on the axon link, which was the entire
+    sem operating point (docs/perf.md r5)."""
     from PIL import Image
 
     sem = Image.open(_meta_image(meta, "sem_image", "sem")).convert("L")
     w, h = sem.size
     crop = min(w, h)
     sem = sem.crop(((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2))
-    sem = np.asarray(sem.resize((512, 512), Image.NEAREST), np.int64)
-    onehot = np.zeros((512, 512, num_classes), np.float32)
-    np.put_along_axis(onehot, sem[..., None], 1.0, axis=-1)
+    sem = np.asarray(sem.resize((512, 512), Image.NEAREST), np.uint8)
+    assert int(sem.max()) < num_classes, (sem.max(), num_classes)
     return {
-        "sem": np.repeat(onehot[None], batch, 0),
+        "sem": np.repeat(sem[None], batch, 0),
         "mask": np.ones(batch, np.float32),
     }
 

@@ -144,21 +144,25 @@ def _zero_grounding(tok_cfg: Dict[str, Any], b: int, n: int) -> Dict[str, jax.Ar
         }
     if "keypoint" in t:
         return {"points": jnp.zeros((b, n, 2)), "masks": jnp.zeros((b, n))}
-    # spatial modalities: 512^2 map + per-sample presence mask
+    # spatial modalities: 512² map + per-sample presence mask, in the
+    # COMPACT host encodings the adapters emit (uint8 pixels; uint8 class
+    # labels for sem) — the grounding nets expand on device
+    # (models/grounding/spatial.py prepare_spatial_map; the fp32 one-hot
+    # alternative moved 2.5 GB/call over the ~50 MB/s axon link)
     key = {"hed": "hed_edge", "canny": "canny_edge", "depth": "depth",
            "normal": "normal", "sem": "sem"}
     for short, kw in key.items():
         if short in t:
-            ch = p.get("in_dim", 3) if short == "sem" else 3
-            return {kw: jnp.zeros((b, 512, 512, ch)), "mask": jnp.zeros((b,))}
+            shape = (b, 512, 512) if short == "sem" else (b, 512, 512, 3)
+            return {kw: jnp.zeros(shape, jnp.uint8), "mask": jnp.zeros((b,))}
     raise ValueError(f"unknown grounding tokenizer {t}")
 
 
 def _zero_extra(ds_cfg: Optional[Dict[str, Any]], b: int) -> Optional[jax.Array]:
     if ds_cfg is None:
         return None
-    ch = 152 if "sem" in ds_cfg["target"] else 3
-    return jnp.zeros((b, 512, 512, ch))
+    shape = (b, 512, 512) if "sem" in ds_cfg["target"] else (b, 512, 512, 3)
+    return jnp.zeros(shape, jnp.uint8)
 
 
 class GenerationPipeline:

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gligen_tpu.ops.interpolate import resize_2d
+from gligen_tpu.models.grounding.spatial import prepare_spatial_map
 from gligen_tpu.utils.registry import DOWNSAMPLERS
 
 
@@ -35,7 +35,7 @@ class HedDownsampler(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x[..., :1]  # grayscale replicated to rgb upstream
-        return resize_2d(x, (64, 64), mode="bicubic")
+        return prepare_spatial_map(x, 64, "bicubic")
 
 
 class _ConvStackDownsampler(nn.Module):
@@ -51,7 +51,7 @@ class _ConvStackDownsampler(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.in_channels == 1:
             x = x[..., :1]
-        x = resize_2d(x, (self.resize_input, self.resize_input), mode=self.resize_mode)
+        x = prepare_spatial_map(x, self.resize_input, self.resize_mode)
         x = _conv_s2(self.hidden, "layers_0", self.dtype)(x.astype(self.dtype))
         x = nn.silu(x)
         return _conv_s2(self.out_dim, "layers_2", self.dtype)(x)
@@ -76,7 +76,8 @@ class SemDownsampler(_ConvStackDownsampler):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = resize_2d(x, (self.resize_input, self.resize_input), mode=self.resize_mode)
+        x = prepare_spatial_map(
+            x, self.resize_input, self.resize_mode, num_classes=self.in_channels)
         x = _conv_s2(self.hidden, "layers_0", self.dtype)(x.astype(self.dtype))
         x = nn.silu(x)
         return _conv_s2(self.out_dim, "layers_2", self.dtype)(x)

@@ -19,10 +19,46 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gligen_tpu.models.grounding.convnext import convnext_tiny
 from gligen_tpu.ops.interpolate import resize_2d
 from gligen_tpu.utils.registry import GROUNDING_NETS
+
+
+def prepare_spatial_map(
+    x: jax.Array,
+    size: int,
+    mode: str,
+    num_classes: int = 0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Accept spatial grounding maps in COMPACT host encodings and expand
+    them on device, returning a float map resized to ``size``.
+
+      * integer (B,H,W) / (B,H,W,1) + num_classes>0 — a class-label map
+        (sem): nearest-resize the LABELS by index select (exactly commutes
+        with one-hot, both pick single source pixels), then one-hot on
+        device.  1 byte/px crosses the host→device link instead of
+        4·num_classes — the axon tunnel moves incompressible fp32 at
+        ~50 MB/s, which made the 2.5 GB one-hot batch the entire sem
+        operating point (42-51 s/call measured, docs/perf.md r5).
+      * uint8 (B,H,W,C) pixels — normalized on device with the exact host
+        formula (/255·2−1), then resized.
+      * float — reference-parity passthrough: resized as before.
+    """
+    if jnp.issubdtype(x.dtype, jnp.integer) and num_classes:
+        if x.ndim == 4:
+            x = x[..., 0]
+        b, h, w = x.shape
+        # torch 'nearest' taps: src = floor(i * n_in / n_out)
+        iy = np.minimum(np.arange(size) * h // size, h - 1)
+        ix = np.minimum(np.arange(size) * w // size, w - 1)
+        x = x[:, iy][:, :, ix]
+        return jax.nn.one_hot(x, num_classes, dtype=dtype)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return resize_2d(x, (size, size), mode=mode)
 
 
 class SpatialPositionNet(nn.Module):
@@ -41,7 +77,8 @@ class SpatialPositionNet(nn.Module):
         feat_dim = 768
 
         b = x.shape[0]
-        x = resize_2d(x, (self.resize_input, self.resize_input), mode="nearest")
+        x = prepare_spatial_map(
+            x, self.resize_input, "nearest", num_classes=self.in_dim)
         if self.in_dim:
             x = nn.Conv(
                 3, (3, 3), padding=[(1, 1), (1, 1)], name="in_conv",

@@ -441,14 +441,14 @@ class ServingSession:
             w, h = sem.size
             crop = min(w, h)
             sem = sem.crop(((w - crop) // 2, (h - crop) // 2, (w + crop) // 2, (h + crop) // 2))
-            lab = np.asarray(sem.resize((512, 512), Image.NEAREST), np.int64)
-            onehot = np.zeros((512, 512, 152), np.float32)
-            np.put_along_axis(onehot, lab[..., None], 1.0, axis=-1)
-            arr = onehot
+            # uint8 labels, one-hot happens on device (prepare_spatial_map):
+            # the fp32 one-hot was 152x4 bytes/px over the host->device link
+            arr = np.asarray(sem.resize((512, 512), Image.NEAREST), np.uint8)
             key = "sem"
         else:
             img = crop_and_resize(_b64_to_image(inst["map_image"]), 512)
-            arr = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0
+            # raw uint8; the grounding net normalizes on device
+            arr = np.asarray(img, np.uint8)
             key = {"hed": "hed_edge", "canny": "canny_edge", "depth": "depth",
                    "normal": "normal"}[mod]
         rep = np.repeat(arr[None], batch, 0)
