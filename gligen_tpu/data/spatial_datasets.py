@@ -4,9 +4,14 @@ depth,normal,sem}.py).
 One generic paired-TSV dataset covers hed/canny/depth (image TSV + a
 parallel condition-map TSV with matching data_ids); NormalDataset loads
 DIODE .npy normal maps with BLIP captions; SemanticDataset loads ADE20K
-label PNGs scattered into a 152-way one-hot.  All outputs are HWC numpy
-float32 in [-1, 1] (one-hot for sem), with the per-sample presence
-``mask`` the spatial grounding nets consume.
+label PNGs.  The ``image`` output is HWC float32 in [-1, 1] (the VAE
+contract); condition maps ship in COMPACT encodings — raw uint8 pixels
+(hed/canny/depth/normal) and uint8 class labels (sem) — and the
+grounding nets expand on device (spatial.prepare_spatial_map), exactly
+reproducing the reference's host normalization / one-hot
+(dataset_hed.py:101, dataset_sem.py:119-123): 12x less loader output for
+maps, 608x for sem one-hots, with bit-identical model inputs
+(tests/test_grounding_nets.py uint8-equivalence tests).
 """
 
 from __future__ import annotations
@@ -80,7 +85,7 @@ class PairedTSVDataset:
         return {
             "id": item["data_id"],
             "image": _to_pm1(image),
-            self.cond_key: _to_pm1(cond),
+            self.cond_key: np.asarray(cond, dtype=np.uint8),
             "mask": np.float32(1.0),
             "caption": caption,
         }
@@ -162,7 +167,7 @@ class NormalDataset:
         return {
             "id": index,
             "image": _to_pm1(image),
-            "normal": _to_pm1(normal),
+            "normal": np.asarray(normal, dtype=np.uint8),
             "mask": np.float32(1.0),
             "caption": caption,
         }
@@ -203,16 +208,15 @@ class SemanticDataset:
         if self.random_flip and self.rng.random() < 0.5:
             image, sem = ImageOps.mirror(image), ImageOps.mirror(sem)
 
-        sem_idx = np.asarray(sem, dtype=np.int64)  # (H, W) class ids
-        onehot = np.zeros((self.image_size, self.image_size, self.num_classes), np.float32)
-        np.put_along_axis(onehot, sem_idx[..., None], 1.0, axis=-1)
+        sem_idx = np.asarray(sem, dtype=np.uint8)  # (H, W) class ids
+        assert int(sem_idx.max()) < self.num_classes, (sem_idx.max(), self.num_classes)
 
         name = os.path.basename(self.image_files[index])
         caption = self.captions[name] if self.rng.uniform() < self.prob_use_caption else ""
         return {
             "id": index,
             "image": _to_pm1(image),
-            "sem": onehot,
+            "sem": sem_idx,
             "mask": np.float32(1.0),
             "caption": caption,
         }

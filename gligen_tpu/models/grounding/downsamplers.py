@@ -77,7 +77,7 @@ class SemDownsampler(_ConvStackDownsampler):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = prepare_spatial_map(
-            x, self.resize_input, self.resize_mode, num_classes=self.in_channels)
+            x, self.resize_input, self.resize_mode, num_classes=self.in_dim)
         x = _conv_s2(self.hidden, "layers_0", self.dtype)(x.astype(self.dtype))
         x = nn.silu(x)
         return _conv_s2(self.out_dim, "layers_2", self.dtype)(x)

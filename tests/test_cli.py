@@ -30,19 +30,34 @@ def test_prepare_batch_kp():
 
 
 def test_prepare_batch_spatial_and_sem(tmp_path):
+    """Maps ship as COMPACT uint8 (pixels / class labels); the on-device
+    expansion (prepare_spatial_map) must reproduce the reference's host
+    math (gligen_inference.py:222-297, 317-338) exactly."""
+    from gligen_tpu.models.grounding.spatial import prepare_spatial_map
+
     img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (300, 400, 3), np.uint8))
     p = str(tmp_path / "map.png")
     img.save(p)
     out = prepare_batch_spatial({"hed_image": p}, 2, "hed_edge", "hed_image")
     assert out["hed_edge"].shape == (2, 512, 512, 3)
-    assert -1 <= out["hed_edge"].min() and out["hed_edge"].max() <= 1
+    assert out["hed_edge"].dtype == np.uint8
+    # device-side normalization == the reference's host formula
+    dev = np.asarray(prepare_spatial_map(out["hed_edge"], 512, "nearest"))
+    host = out["hed_edge"].astype(np.float32) / 255.0 * 2.0 - 1.0
+    np.testing.assert_allclose(dev, host, atol=1e-6)
 
     lab = Image.fromarray(np.random.default_rng(1).integers(0, 151, (300, 400), np.uint8), "L")
     p2 = str(tmp_path / "sem.png")
     lab.save(p2)
     out = prepare_batch_sem({"sem_image": p2}, 1)
-    assert out["sem"].shape == (1, 512, 512, 152)
-    np.testing.assert_allclose(out["sem"].sum(-1), 1.0)
+    assert out["sem"].shape == (1, 512, 512)
+    assert out["sem"].dtype == np.uint8
+    # device-side one-hot == the reference's host put_along_axis one-hot
+    dev = np.asarray(prepare_spatial_map(out["sem"], 512, "nearest", num_classes=152))
+    host = np.zeros((1, 512, 512, 152), np.float32)
+    np.put_along_axis(host, out["sem"].astype(np.int64)[..., None], 1.0, axis=-1)
+    np.testing.assert_array_equal(dev, host)
+    np.testing.assert_allclose(dev.sum(-1), 1.0)
 
 
 def test_crop_and_resize():

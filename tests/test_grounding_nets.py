@@ -158,3 +158,60 @@ def test_downsampler_parity(reference_path, mod):
     params = _params(ref) if list(ref.state_dict()) else {"params": {}}
     got = mine.apply(params, _nhwc(x))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)
+
+
+# ---- compact host encodings (uint8 pixels / uint8 class labels) ----
+# Serving/CLI ship RAW uint8 maps and the nets expand on device
+# (spatial.prepare_spatial_map): these pin that the compact path equals
+# the reference-parity float path bit-for-bit (sem: label-resize commutes
+# with one-hot; pixels: /255*2-1 commutes with the affine resize).
+
+
+def _onehot(lab, n):
+    out = np.zeros(lab.shape + (n,), np.float32)
+    np.put_along_axis(out, lab[..., None].astype(np.int64), 1.0, axis=-1)
+    return out
+
+
+def test_spatial_net_uint8_pixels_equal_float_path():
+    mine = spatial.HedPositionNet(resize_input=64, out_dim=32)
+    pix = RNG.integers(0, 256, (2, 48, 48, 3)).astype(np.uint8)
+    mask = np.array([1.0, 1.0], dtype=np.float32)
+    import jax
+
+    params = mine.init(jax.random.PRNGKey(0), jnp.asarray(pix), jnp.asarray(mask))
+    want = mine.apply(params, jnp.asarray(pix.astype(np.float32) / 255.0 * 2.0 - 1.0),
+                      jnp.asarray(mask))
+    got = mine.apply(params, jnp.asarray(pix), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sem_net_uint8_labels_equal_onehot_path():
+    mine = spatial.SemPositionNet(resize_input=64, in_dim=12, out_dim=32)
+    lab = RNG.integers(0, 12, (2, 48, 48)).astype(np.uint8)
+    mask = np.array([1.0, 0.0], dtype=np.float32)
+    import jax
+
+    params = mine.init(jax.random.PRNGKey(1), jnp.asarray(lab), jnp.asarray(mask))
+    want = mine.apply(params, jnp.asarray(_onehot(lab, 12)), jnp.asarray(mask))
+    got = mine.apply(params, jnp.asarray(lab), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_downsamplers_uint8_equal_float_path():
+    import jax
+
+    # hed: parameterless bicubic — affine commute, fp32-exact to ~1e-6
+    pix = RNG.integers(0, 256, (2, 128, 128, 3)).astype(np.uint8)
+    hed = ds.HedDownsampler()
+    want = hed.apply({"params": {}}, jnp.asarray(pix.astype(np.float32) / 255.0 * 2.0 - 1.0))
+    got = hed.apply({"params": {}}, jnp.asarray(pix))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # sem: label nearest-resize commutes exactly with one-hot
+    lab = RNG.integers(0, 12, (2, 128, 128)).astype(np.uint8)
+    sem = ds.SemDownsampler(resize_input=64, in_dim=12)
+    params = sem.init(jax.random.PRNGKey(2), jnp.asarray(lab))
+    want = sem.apply(params, jnp.asarray(_onehot(lab, 12)))
+    got = sem.apply(params, jnp.asarray(lab))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -82,7 +82,9 @@ def test_hed_paired_dataset(tmp_path):
     assert len(ds) == 2
     item = ds[0]
     assert item["image"].shape == (64, 64, 3)
+    # condition maps ship COMPACT: raw uint8, expanded on device
     assert item["hed_edge"].shape == (64, 64, 3)
+    assert item["hed_edge"].dtype == np.uint8
     assert item["mask"] == 1.0
     assert -1 <= item["image"].min() and item["image"].max() <= 1
 
@@ -98,6 +100,7 @@ def test_normal_and_sem_datasets(tmp_path):
                        image_size=64, seed=0)
     item = ds[0]
     assert item["normal"].shape == (64, 64, 3)
+    assert item["normal"].dtype == np.uint8
     assert item["caption"] == "a room"
 
     # sem: jpg + label png + captions
@@ -108,5 +111,8 @@ def test_normal_and_sem_datasets(tmp_path):
     ds2 = SemanticDataset(str(tmp_path / "si"), str(tmp_path / "ss"), str(tmp_path / "scap.json"),
                           image_size=64, seed=0)
     item2 = ds2[0]
-    assert item2["sem"].shape == (64, 64, 152)
-    np.testing.assert_allclose(item2["sem"].sum(-1), 1.0)
+    # uint8 class labels (608x smaller than the fp32 one-hot it replaces);
+    # the sem net/downsampler one-hot on device
+    assert item2["sem"].shape == (64, 64)
+    assert item2["sem"].dtype == np.uint8
+    assert int(item2["sem"].max()) < 152

@@ -86,13 +86,16 @@ def _grounding(modality: str, b: int):
         g["masks"][:, :17] = 1.0
         return g, None
     if modality == "hed":
-        m = (rng.random((b, 512, 512, 3)) * 2 - 1).astype(np.float32)
+        # compact host encoding: raw uint8 pixels, normalized on device
+        # (prepare_spatial_map) — 4x less host->device traffic than fp32
+        m = rng.integers(0, 256, (b, 512, 512, 3)).astype(np.uint8)
         return {"hed_edge": m, "mask": np.ones((b,), np.float32)}, m
     if modality == "sem":
-        onehot = np.zeros((b, 512, 512, 152), np.float32)
-        lab = rng.integers(0, 152, (b, 512, 512))
-        np.put_along_axis(onehot, lab[..., None], 1.0, axis=-1)
-        return {"sem": onehot, "mask": np.ones((b,), np.float32)}, onehot
+        # compact host encoding: uint8 class labels, one-hot on device —
+        # 1 byte/px instead of 152x4 (the fp32 one-hot batch was 2.5 GB
+        # and the entire r5 sem operating point, docs/perf.md)
+        lab = rng.integers(0, 152, (b, 512, 512)).astype(np.uint8)
+        return {"sem": lab, "mask": np.ones((b,), np.float32)}, lab
     raise ValueError(modality)
 
 
